@@ -1,0 +1,235 @@
+"""Configuration for the TPU-native incremental ESDF engine.
+
+The reference (FIESTA) splits configuration across compile-time ``#define``
+variants (``include/parameters.h:9-14``) and runtime ROS params with defaults
+(``src/parameters.cpp:6-96``).  Here everything is a single frozen dataclass:
+compile-time variants become enum-ish fields that specialize jitted functions
+(the dataclass is hashable, so it can be a static jit argument).
+
+Connectivity stencils mirror the alternatives kept in the reference
+(``include/parameters.h:20-129``); the active one there is the 24-neighbor
+"faces 2 steps" set (``include/parameters.h:54-68``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BFS / relaxation connectivity stencils (reference: include/parameters.h)
+# ---------------------------------------------------------------------------
+
+_FACES = [
+    (-1, 0, 0), (1, 0, 0),
+    (0, -1, 0), (0, 1, 0),
+    (0, 0, -1), (0, 0, 1),
+]
+
+_EDGES = [
+    (-1, -1, 0), (1, 1, 0),
+    (0, -1, -1), (0, 1, 1),
+    (-1, 0, -1), (1, 0, 1),
+    (-1, 1, 0), (1, -1, 0),
+    (0, -1, 1), (0, 1, -1),
+    (1, 0, -1), (-1, 0, 1),
+]
+
+_CORNERS = [
+    (-1, -1, -1), (1, 1, 1),
+    (-1, -1, 1), (1, 1, -1),
+    (-1, 1, -1), (1, -1, 1),
+    (1, -1, -1), (-1, 1, 1),
+]
+
+_FACES2 = [
+    (-2, 0, 0), (2, 0, 0),
+    (0, -2, 0), (0, 2, 0),
+    (0, 0, -2), (0, 0, 2),
+]
+
+STENCILS = {
+    6: _FACES,
+    18: _FACES + _EDGES,
+    26: _FACES + _EDGES + _CORNERS,
+    24: _FACES + _EDGES + _FACES2,          # reference default
+    32: _FACES + _EDGES + _FACES2 + _CORNERS,
+}
+
+
+def stencil_offsets(connectivity: int):
+    """Return the stencil as a hashable tuple of (dx, dy, dz) offsets.
+
+    Hashable so it can be a static jit argument; convert with np.asarray
+    where an array is needed.
+    """
+    try:
+        return tuple(STENCILS[connectivity])
+    except KeyError:
+        raise ValueError(
+            f"connectivity must be one of {sorted(STENCILS)}, got {connectivity}"
+        ) from None
+
+
+def logit(p: float) -> float:
+    """log(p / (1-p)) — occupancy probability to log-odds (ESDFMap.cpp:12-14)."""
+    return math.log(p / (1.0 - p))
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FiestaConfig:
+    """All knobs of the engine.  Hashable => usable as a static jit argument.
+
+    Defaults mirror the reference's runtime defaults
+    (``src/parameters.cpp:6-96``) and the cow_and_lady launch overrides where
+    noted (``launch/cow_and_lady.launch``).
+    """
+
+    # --- grid geometry (array backend; reference ESDFMap.cpp:171-213) ------
+    resolution: float = 0.1
+    origin: Tuple[float, float, float] = (-20.0, -20.0, -5.0)   # l_cornor_
+    map_size: Tuple[float, float, float] = (40.0, 40.0, 10.0)
+
+    # --- occupancy fusion (reference src/parameters.cpp:89-93) -------------
+    p_hit: float = 0.70
+    p_miss: float = 0.35
+    p_min: float = 0.12
+    p_max: float = 0.97
+    p_occ: float = 0.80
+
+    # --- raycasting (reference src/parameters.cpp:9-10) --------------------
+    min_ray_length: float = 0.5
+    max_ray_length: float = 5.0
+    # hard cap from reference src/raycast.cpp:127-130 (1500); per-axis DDA
+    # step bound is derived from max_ray_length at trace time instead.
+
+    # --- depth camera (reference src/parameters.cpp:21-24) -----------------
+    center_x: float = 322.477357419
+    center_y: float = 237.076346481
+    focal_x: float = 384.458089392
+    focal_y: float = 383.982755697
+    depth_scaling_factor: float = 1000.0     # Fiesta.h:328
+
+    # --- depth consistency filter (reference src/parameters.cpp:38-42) -----
+    use_depth_filter: bool = True
+    depth_filter_tolerance: float = 0.1
+    depth_filter_max_dist: float = 10.0
+    depth_filter_min_dist: float = 0.1
+    depth_filter_margin: int = 0
+
+    # --- local vs global map (reference src/parameters.cpp:26-36) ----------
+    global_update: bool = True
+    global_vis: bool = True
+    radius: Tuple[float, float, float] = (3.0, 3.0, 1.5)
+
+    # --- update cadence (reference src/parameters.cpp:63) ------------------
+    update_esdf_every_n_sec: float = 0.1
+    visualize_every_n_updates: int = 1
+
+    # --- visualization (reference src/parameters.cpp:13-19) ----------------
+    slice_vis_max_dist: float = 2.0
+    slice_vis_level: float = 5.0      # meters; voxel index derived from grid
+    vis_lower_bound: float = -5.0
+    vis_upper_bound: float = 10.0
+
+    # --- algorithm variants (reference #defines, parameters.h:9-14) --------
+    connectivity: int = 24            # BFS stencil (24 = reference default)
+    probabilistic: bool = True        # PROBABILISTIC
+    signed_needed: bool = False       # SIGNED_NEEDED: maintain inverse map
+
+    # --- TPU-native knobs (no reference analog) ----------------------------
+    # Rays are padded to this many points per scan (static shapes under jit).
+    max_points_per_scan: int = 65536
+    # Max DDA steps per ray; 0 => derive from max_ray_length / resolution.
+    max_ray_steps: int = 0
+    # "infinity" sentinel distance in meters (reference ESDFMap.cpp:181: 10000)
+    infinity_distance: float = 10000.0
+
+    # ------------------------------------------------------------------
+    # Derived helpers (plain Python; all static given the frozen config)
+    # ------------------------------------------------------------------
+
+    @property
+    def grid_shape(self) -> Tuple[int, int, int]:
+        """Voxel counts per axis: ceil(map_size / resolution) (ESDFMap.cpp:176)."""
+        return tuple(
+            int(math.ceil(s / self.resolution)) for s in self.map_size
+        )
+
+    @property
+    def num_voxels(self) -> int:
+        x, y, z = self.grid_shape
+        return x * y * z
+
+    @property
+    def prob_hit_log(self) -> float:
+        return logit(self.p_hit)
+
+    @property
+    def prob_miss_log(self) -> float:
+        return logit(self.p_miss)
+
+    @property
+    def clamp_min_log(self) -> float:
+        return logit(self.p_min)
+
+    @property
+    def clamp_max_log(self) -> float:
+        return logit(self.p_max)
+
+    @property
+    def min_occupancy_log(self) -> float:
+        return logit(self.p_occ)
+
+    @property
+    def ray_steps(self) -> int:
+        """Static DDA step bound: enough to traverse max_ray_length diagonally."""
+        if self.max_ray_steps:
+            return self.max_ray_steps
+        # a DDA crossing of a segment of length L makes at most
+        # sum_axis ceil(L_axis/res) + 3 steps; bound by 3 * L/res + 4.
+        return 3 * int(math.ceil(self.max_ray_length / self.resolution)) + 4
+
+    @property
+    def stencil(self):
+        return stencil_offsets(self.connectivity)
+
+    def validate(self) -> "FiestaConfig":
+        gx, gy, gz = self.grid_shape
+        if max(gx, gy, gz) >= 1 << 15:
+            raise ValueError("grid axis too large for int16 closest-obstacle coords")
+        if not (0 < self.p_min < self.p_miss < 0.5 < self.p_hit < self.p_max < 1):
+            raise ValueError("occupancy probabilities must satisfy "
+                             "0 < p_min < p_miss < 0.5 < p_hit < p_max < 1")
+        return self
+
+
+# Preset matching launch/cow_and_lady.launch (grid 400x400x80 = 12.8M voxels).
+COW_AND_LADY = FiestaConfig(
+    resolution=0.05,
+    origin=(-10.0, -10.0, -1.0),
+    map_size=(20.0, 20.0, 4.0),
+    visualize_every_n_updates=10,
+    slice_vis_level=1.6,
+    vis_lower_bound=0.0,
+    vis_upper_bound=10.0,
+)
+
+# Preset matching launch/demo.launch (local-map mode, depth-image input).
+DEMO_ONBOARD = FiestaConfig(
+    resolution=0.1,
+    origin=(-20.0, -20.0, -1.6),
+    map_size=(40.0, 40.0, 3.6),
+    global_update=False,
+    global_vis=False,
+    visualize_every_n_updates=10,
+    slice_vis_level=1.6,
+)

@@ -1,0 +1,140 @@
+"""Planner-facing distance / gradient queries (reference component C8).
+
+Reference: GetDistance (src/ESDFMap.cpp:467-479) and
+GetDistWithGradTrilinear (src/ESDFMap.cpp:481-540).
+
+All queries are batched over arbitrary leading dims and fully vectorized —
+this is the hot read path for the MPC layer (1e4 rollouts x horizon per step).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FiestaConfig
+from ..grid import INF_D2, UNDEFINED_DIST, pos_in_map, pos_to_vox, vox_to_pos
+
+
+def distance_grid(cfg: FiestaConfig, d2: jax.Array, seen: jax.Array) -> jax.Array:
+    """Dense metric distances [X,Y,Z] f32.
+
+    Unobserved or unreachable voxels read as ``infinity_distance`` (the
+    reference returns infinity for distance_buffer_<0 and stores infinity for
+    observed-but-unreached voxels, ESDFMap.cpp:246-248, 477-479).
+    """
+    known = seen & (d2 < INF_D2)
+    dist = jnp.sqrt(d2.astype(jnp.float32)) * cfg.resolution
+    return jnp.where(known, dist, cfg.infinity_distance)
+
+
+def get_distance_vox(
+    cfg: FiestaConfig, dist: jax.Array, vox: jax.Array
+) -> jax.Array:
+    """Distance at integer voxels [...,3]; out-of-grid reads infinity.
+
+    Reference GetDistance(Vector3i) (ESDFMap.cpp:477-479) has no bounds check
+    (callers guarantee it); here out-of-grid clamps to infinity so the
+    trilinear stencil at the map border behaves like the reference reading
+    its ``reserved_idx_4_undefined_`` slot.
+    """
+    gx, gy, gz = cfg.grid_shape
+    inside = jnp.all(
+        (vox >= 0) & (vox < jnp.array([gx, gy, gz], vox.dtype)), axis=-1
+    )
+    v = jnp.clip(vox, 0, jnp.array([gx - 1, gy - 1, gz - 1], vox.dtype))
+    vals = dist[v[..., 0], v[..., 1], v[..., 2]]
+    return jnp.where(inside, vals, cfg.infinity_distance)
+
+
+def get_distance(
+    cfg: FiestaConfig, dist: jax.Array, pos: jax.Array
+) -> jax.Array:
+    """Distance at world positions [...,3] (GetDistance, ESDFMap.cpp:467-475).
+
+    Out-of-map positions return UNDEFINED_DIST (-10000), as the reference.
+    """
+    in_map = pos_in_map(cfg, pos)
+    vox = pos_to_vox(cfg, pos)
+    d = get_distance_vox(cfg, dist, vox)
+    return jnp.where(in_map, d, UNDEFINED_DIST)
+
+
+def get_dist_grad_trilinear(
+    cfg: FiestaConfig, dist: jax.Array, pos: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Trilinearly interpolated distance + analytic gradient of the
+    interpolant (GetDistWithGradTrilinear, ESDFMap.cpp:481-540).
+
+    Args:
+      dist: dense [X,Y,Z] metric distance grid (from ``distance_grid``).
+      pos:  [...,3] world positions.
+
+    Returns:
+      (dist [...,], grad [...,3]).  Out-of-map: dist=-1, grad=0 (reference
+      returns -1 and leaves grad untouched, ESDFMap.cpp:483-484).
+    """
+    in_map = pos_in_map(cfg, pos)
+
+    # Corner voxel: Pos2Vox(pos - res/2) (ESDFMap.cpp:498-501).
+    pos_m = pos - 0.5 * cfg.resolution
+    idx = pos_to_vox(cfg, pos_m)
+    idx_pos = vox_to_pos(cfg, idx)
+    diff = (pos - idx_pos) / cfg.resolution              # in [0,1)^3
+
+    # Gather the 8 corners.
+    def corner(ox, oy, oz):
+        off = jnp.array([ox, oy, oz], idx.dtype)
+        return get_distance_vox(cfg, dist, idx + off)
+
+    v000 = corner(0, 0, 0)
+    v100 = corner(1, 0, 0)
+    v010 = corner(0, 1, 0)
+    v110 = corner(1, 1, 0)
+    v001 = corner(0, 0, 1)
+    v101 = corner(1, 0, 1)
+    v011 = corner(0, 1, 1)
+    v111 = corner(1, 1, 1)
+
+    dx, dy, dz = diff[..., 0], diff[..., 1], diff[..., 2]
+
+    # Exactly the reference's interpolation tree (ESDFMap.cpp:519-539).
+    v00 = (1 - dx) * v000 + dx * v100
+    v01 = (1 - dx) * v001 + dx * v101
+    v10 = (1 - dx) * v010 + dx * v110
+    v11 = (1 - dx) * v011 + dx * v111
+
+    v0 = (1 - dy) * v00 + dy * v10
+    v1 = (1 - dy) * v01 + dy * v11
+
+    d = (1 - dz) * v0 + dz * v1
+
+    res_inv = 1.0 / cfg.resolution
+    gz = (v1 - v0) * res_inv
+    gy = ((1 - dz) * (v10 - v00) + dz * (v11 - v01)) * res_inv
+    gx = (
+        (1 - dz) * (1 - dy) * (v100 - v000)
+        + (1 - dz) * dy * (v110 - v010)
+        + dz * (1 - dy) * (v101 - v001)
+        + dz * dy * (v111 - v011)
+    ) * res_inv
+
+    grad = jnp.stack([gx, gy, gz], axis=-1)
+    d = jnp.where(in_map, d, -1.0)
+    grad = jnp.where(in_map[..., None], grad, 0.0)
+    return d, grad
+
+
+def get_occupancy(cfg: FiestaConfig, logodds: jax.Array, pos: jax.Array) -> jax.Array:
+    """GetOccupancy(Vector3d) (ESDFMap.cpp:452-460): -10000 out of map,
+    else 0/1 occupancy."""
+    from ..grid import occupied_grid  # local import to avoid cycle
+
+    in_map = pos_in_map(cfg, pos)
+    vox = pos_to_vox(cfg, pos)
+    gx, gy, gz = cfg.grid_shape
+    v = jnp.clip(vox, 0, jnp.array([gx - 1, gy - 1, gz - 1], jnp.int32))
+    occ = occupied_grid(cfg, logodds)[v[..., 0], v[..., 1], v[..., 2]]
+    return jnp.where(in_map, occ.astype(jnp.int32), jnp.int32(-10000))
