@@ -1,0 +1,126 @@
+"""Benchmark: cow_and_lady-scale streaming incremental ESDF on one TPU chip.
+
+Protocol (BASELINE.md): the reference times three stages — depth conversion,
+raycast+fusion, UpdateESDF — on the cow_and_lady dataset (0.05 m resolution,
+20x20x4 m => 12.8 M voxels) against a 10 Hz real-time budget (100 ms per
+update batch, launch/cow_and_lady.launch:6).  Without network access the
+dataset is substituted by the synthetic replay world at identical scale:
+same grid, same ray-length gates, sensor orbiting at 30 Hz with ESDF updates
+every 3rd frame (10 Hz cadence).
+
+Headline metric: wall milliseconds per ESDF update batch (3 scans integrated
++ occupancy fusion + incremental ESDF relaxation), steady state.
+``vs_baseline`` = 100 ms / measured (x real-time against the reference's
+own budget; >1 is faster than required, 10+ meets the north-star
+<10 ms/frame).
+
+Prints exactly one JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fiesta_tpu import COW_AND_LADY
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.pipeline import FiestaPipeline
+    from fiesta_tpu.timing import Timing
+
+    h, w = 192, 256
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(COW_AND_LADY, h, w),
+        max_points_per_scan=h * w,
+    )
+    log(f"devices: {jax.devices()}")
+    log(f"grid: {cfg.grid_shape} = {cfg.num_voxels/1e6:.1f} M voxels, "
+        f"res {cfg.resolution} m, scan {h}x{w} = {h*w} rays")
+
+    t0 = time.perf_counter()
+    world, frames = replay.make_sequence(
+        cfg, n_frames=49, n_boxes=20, seed=0, kind="cloud",
+        height=h, width=w, period=12.0, orbit_radius=5.0,
+    )
+    log(f"rendered {len(frames)} frames in {time.perf_counter()-t0:.1f}s")
+    pipe = FiestaPipeline(cfg, method="projective")
+
+    # Pre-upload scans: sensor DMA is not part of the compute pipeline the
+    # reference times either (its timers start after ROS message decode).
+    t0 = time.perf_counter()
+    dev = [(t, pose, pipe.preload_cloud(scan)) for t, pose, scan in frames]
+    pipe.sync_device()
+    log(f"preloaded {len(dev)} scans in {time.perf_counter()-t0:.1f}s")
+
+    def feed(i):
+        # pushing frame i+1's pose finalizes frame i in the synchronizer
+        t, (pos, quat), payload = dev[i]
+        pipe.observe_pose(t, pos, quat)
+        pipe.observe_cloud(t, payload)
+        tn = dev[i + 1][0] if i + 1 < len(dev) else t + 1.0
+        pipe.observe_pose(tn, *dev[min(i + 1, len(dev) - 1)][1])
+        return pipe.process()
+
+    # Warmup: compile + settle the map (first updates do the long
+    # initial wavefront propagation).
+    warm_frames = 12
+    for i in range(warm_frames):
+        ti = time.perf_counter()
+        feed(i)
+        tf = time.perf_counter()
+        if i % 3 == 2:
+            stats = pipe.update()
+            pipe.sync_device()
+            log(f"warm frame {i}: feed {tf-ti:.2f}s update "
+                f"{time.perf_counter()-tf:.2f}s sweeps="
+                f"{int(stats.num_sweeps) if stats else -1}")
+    log("warmup done; map occupied voxels: "
+        f"{int(np.asarray(pipe.occupied()).sum())}")
+
+    # Measured steady-state stream: async dispatch, one sync at the end
+    # (amortized per-batch cost; the ~30 ms tunnel round-trip latency is a
+    # harness artifact, not pipeline work).
+    all_stats = []
+    n_batches = 0
+    pipe.sync_device()
+    t_stream = time.perf_counter()
+    i = warm_frames
+    while i + 3 < len(dev):
+        for k in range(3):
+            feed(i + k)
+        all_stats.append(pipe.update())
+        n_batches += 1
+        i += 3
+    pipe.sync_device()
+    stream_s = time.perf_counter() - t_stream
+
+    batch_ms = 1e3 * stream_s / n_batches
+    sweeps = [int(s.num_sweeps) for s in all_stats if s is not None]
+    log(f"steady stream: {n_batches} update batches (3 scans each) "
+        f"in {stream_s*1e3:.1f} ms -> {batch_ms:.2f} ms/batch, "
+        f"{batch_ms/3:.2f} ms/frame")
+    log(f"relaxation sweeps per update: {sweeps}")
+    log(Timing.print_table())
+
+    baseline_ms = 100.0  # reference real-time budget per update batch
+    print(json.dumps({
+        "metric": "esdf_update_batch_ms_cow_and_lady_scale",
+        "value": round(batch_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / batch_ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

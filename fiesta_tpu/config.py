@@ -74,6 +74,29 @@ def stencil_offsets(connectivity: int):
         ) from None
 
 
+def jump_offsets(max_jump: int):
+    """Exponential long-range axis offsets: +-4, +-8, ... +-max_jump.
+
+    TPU-native convergence accelerator (no reference analog): the BFS
+    wavefront advances O(1) voxels per relaxation sweep, so an empty-to-full
+    map rebuild needs O(grid diameter) sweeps.  Adding power-of-two axis
+    jumps to the stencil preserves soundness (any candidate is a distance to
+    a real occupied voxel, so the fixpoint can only move *toward* the exact
+    EDT, never below it) while letting information travel the grid in
+    O(log diameter) sweeps.
+    """
+    dirs = []
+    j = 4
+    while j <= max_jump:
+        for axis in range(3):
+            for s in (-j, j):
+                d = [0, 0, 0]
+                d[axis] = s
+                dirs.append(tuple(d))
+        j *= 2
+    return tuple(dirs)
+
+
 def logit(p: float) -> float:
     """log(p / (1-p)) — occupancy probability to log-odds (ESDFMap.cpp:12-14)."""
     return math.log(p / (1.0 - p))
@@ -146,6 +169,9 @@ class FiestaConfig:
     signed_needed: bool = False       # SIGNED_NEEDED: maintain inverse map
 
     # --- TPU-native knobs (no reference analog) ----------------------------
+    # Exponential long-range relaxation offsets (0 = off, parity mode).
+    # See jump_offsets(): preserves correctness, converges in O(log) sweeps.
+    accel_jumps: int = 64
     # Rays are padded to this many points per scan (static shapes under jit).
     max_points_per_scan: int = 65536
     # Max DDA steps per ray; 0 => derive from max_ray_length / resolution.
@@ -201,6 +227,18 @@ class FiestaConfig:
     @property
     def stencil(self):
         return stencil_offsets(self.connectivity)
+
+    @property
+    def relax_dirs(self):
+        """Production relaxation stencil: connectivity stencil + accel jumps
+        (trimmed to offsets that fit inside the grid)."""
+        dirs = list(self.stencil)
+        if self.accel_jumps:
+            shape = self.grid_shape
+            for d in jump_offsets(self.accel_jumps):
+                if all(abs(d[i]) < shape[i] for i in range(3)):
+                    dirs.append(d)
+        return tuple(dirs)
 
     def validate(self) -> "FiestaConfig":
         gx, gy, gz = self.grid_shape

@@ -154,6 +154,22 @@ def local_window(cfg: FiestaConfig, center_pos: jax.Array) -> Tuple[jax.Array, j
     return min_vec, max_vec
 
 
+def local_window_np(cfg: FiestaConfig, center_pos) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (NumPy) twin of ``local_window`` — avoids device dispatches
+    for per-frame window computation."""
+    center = np.asarray(center_pos, np.float64)
+    radius = np.asarray(cfg.radius)
+    lo = np.asarray(cfg.origin)
+    hi = lo + np.asarray(cfg.map_size)
+    min_pos = np.clip(center - radius, lo, hi)
+    max_pos = np.clip(center + radius, lo, hi)
+    min_vec = np.floor((min_pos - lo) / cfg.resolution).astype(np.int32)
+    max_vec = np.floor(
+        (max_pos - 0.5 * cfg.resolution - lo) / cfg.resolution
+    ).astype(np.int32)
+    return min_vec, max_vec
+
+
 def window_mask(cfg: FiestaConfig, min_vec: jax.Array, max_vec: jax.Array) -> jax.Array:
     """Dense [X, Y, Z] bool mask of voxels inside the inclusive window."""
     gx, gy, gz = cfg.grid_shape

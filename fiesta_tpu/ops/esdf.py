@@ -71,6 +71,22 @@ def _shift_stack(padded: jax.Array, off, shape) -> jax.Array:
     )
 
 
+def _shift_axis_stack(arr: jax.Array, axis: int, s: int, fill) -> jax.Array:
+    """Shift a [C, X, Y, Z] stack by ``s`` along spatial ``axis`` (0..2):
+    out[v] = arr[v + s*e_axis], boundary filled.  Used for the long-range
+    jump offsets, where padding the whole array would be wasteful."""
+    ax = axis + 1
+    n = arr.shape[ax]
+    blk_shape = list(arr.shape)
+    blk_shape[ax] = abs(s)
+    blk = jnp.full(blk_shape, fill, arr.dtype)
+    if s > 0:
+        body = jax.lax.slice_in_dim(arr, s, n, axis=ax)
+        return jnp.concatenate([body, blk], axis=ax)
+    body = jax.lax.slice_in_dim(arr, 0, n + s, axis=ax)
+    return jnp.concatenate([blk, body], axis=ax)
+
+
 def relax_once(
     d2: jax.Array,
     closest: jax.Array,
@@ -102,16 +118,26 @@ def relax_once(
     src = closest
     if source_mask is not None:
         src = jnp.where(source_mask[None], closest, UNDEFINED_COORD)
-    padded = jnp.pad(
-        src,
-        ((0, 0), (_PAD, _PAD), (_PAD, _PAD), (_PAD, _PAD)),
-        constant_values=np.int16(-1),
-    )
+
+    small = [d for d in dirs if max(abs(int(o)) for o in d) <= _PAD]
+    jumps = [d for d in dirs if max(abs(int(o)) for o in d) > _PAD]
+    for d in jumps:
+        nz = [o for o in d if o]
+        assert len(nz) == 1, f"long-range offsets must be axis-aligned: {d}"
+
+    padded = None
+    if small:
+        padded = jnp.pad(
+            src,
+            ((0, 0), (_PAD, _PAD), (_PAD, _PAD), (_PAD, _PAD)),
+            constant_values=np.int16(-1),
+        )
 
     best_d2 = d2
     best_c = closest
-    for off in dirs:
-        nb = _shift_stack(padded, off, shape)          # [3,X,Y,Z] int16
+
+    def consider(nb):
+        nonlocal best_d2, best_c
         nb32 = nb.astype(jnp.int32)
         defined = nb[0] >= 0
         diff = self_c - nb32
@@ -119,6 +145,12 @@ def relax_once(
         better = defined & (cand < best_d2)
         best_d2 = jnp.where(better, cand, best_d2)
         best_c = jnp.where(better[None], nb, best_c)
+
+    for off in small:
+        consider(_shift_stack(padded, off, shape))     # [3,X,Y,Z] int16
+    for off in jumps:
+        axis = next(i for i, o in enumerate(off) if o)
+        consider(_shift_axis_stack(src, axis, int(off[axis]), np.int16(-1)))
 
     if update_mask is not None:
         best_d2 = jnp.where(update_mask, best_d2, d2)

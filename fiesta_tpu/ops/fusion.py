@@ -99,7 +99,8 @@ def set_occupancy_direct(
     gx, gy, gz = cfg.grid_shape
     valid = jnp.all((vox >= 0) & (vox < jnp.array([gx, gy, gz])), axis=-1)
     lin = vox[:, 0] * (gy * gz) + vox[:, 1] * gz + vox[:, 2]
-    lin = jnp.where(valid, lin, -1)
+    # high sentinel: mode="drop" drops out-of-bounds, but -1 would wrap
+    lin = jnp.where(valid, lin, gx * gy * gz)
     flat = logodds.reshape(-1)
     new_flat = flat.at[lin].set(occ.astype(jnp.float32), mode="drop")
     new_lo = new_flat.reshape(logodds.shape)

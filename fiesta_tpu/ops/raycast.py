@@ -48,6 +48,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FiestaConfig
 from ..grid import window_mask as make_window_mask
@@ -92,10 +93,11 @@ def _endpoint_masks(cfg: FiestaConfig, clipped, valid, is_hit, win):
         in_grid = in_grid & jnp.all((vox >= min_vec) & (vox <= max_vec), axis=-1)
     lin = vox[..., 0] * (gy * gz) + vox[..., 1] * gz + vox[..., 2]
 
-    hit_lin = jnp.where(valid & is_hit & in_grid, lin, -1)
-    free_lin = jnp.where(valid & ~is_hit & in_grid, lin, -1)
-
+    # NB: dropped entries use an out-of-bounds HIGH sentinel — negative
+    # indices would wrap (NumPy semantics) instead of dropping.
     n = gx * gy * gz
+    hit_lin = jnp.where(valid & is_hit & in_grid, lin, n)
+    free_lin = jnp.where(valid & ~is_hit & in_grid, lin, n)
     hit_m = jnp.zeros((n,), jnp.uint8).at[hit_lin].max(
         jnp.uint8(1), mode="drop"
     )
@@ -179,7 +181,7 @@ def integrate_scan_dda(
     max2 = cfg.max_ray_length**2
 
     def body(_, carry):
-        v, tm, alive, free_flat = carry
+        v, tm, alive, prev_lin, free_flat = carry
         vf = v.astype(jnp.float32)
 
         in_aabb = jnp.all(
@@ -198,10 +200,15 @@ def integrate_scan_dda(
         if window is not None:
             in_grid = in_grid & jnp.all((mv >= wmin) & (mv <= wmax), axis=-1)
 
-        emit = alive & in_aabb & ~at_end & ~over & gate & in_grid
+        # The reference frees output[0..size-2], i.e. every emitted voxel
+        # except the LAST emission (Fiesta.h:239).  Online equivalent: a
+        # voxel is marked only once a *later* voxel is emitted on its ray.
+        emitted = alive & in_aabb
+        mark = jnp.where(emitted, prev_lin, n)   # high sentinel: dropped
+        free_flat = free_flat.at[mark].max(jnp.uint8(1), mode="drop")
         lin = mv[..., 0] * (gy * gz) + mv[..., 1] * gz + mv[..., 2]
-        lin = jnp.where(emit, lin, -1)
-        free_flat = free_flat.at[lin].max(jnp.uint8(1), mode="drop")
+        markable = gate & in_grid
+        prev_lin = jnp.where(emitted, jnp.where(markable, lin, n), prev_lin)
 
         alive = alive & ~at_end & ~over
 
@@ -214,12 +221,13 @@ def integrate_scan_dda(
         adv = axis & alive[..., None]
         v = v + jnp.where(adv, step, 0)
         tm = tm + jnp.where(adv, t_delta, 0.0)
-        return v, tm, alive, free_flat
+        return v, tm, alive, prev_lin, free_flat
 
     free0 = jnp.zeros((n,), jnp.uint8)
     v_init = jnp.broadcast_to(v0[None], ev.shape)
-    _, _, _, free_flat = jax.lax.fori_loop(
-        0, cfg.ray_steps, body, (v_init, t_max0, alive0, free0)
+    prev0 = jnp.full(ev.shape[:-1], n, jnp.int32)
+    _, _, _, _, free_flat = jax.lax.fori_loop(
+        0, cfg.ray_steps, body, (v_init, t_max0, alive0, prev0, free0)
     )
     pathfree_m = free_flat.reshape(cfg.grid_shape)
 
@@ -237,8 +245,8 @@ def integrate_scan_dda(
 # ---------------------------------------------------------------------------
 
 
-def _spherical_pixel(delta, az_bins: int, el_bins: int):
-    """Map direction vectors [...,3] to panorama pixel (az, el) indices."""
+def _spherical_coords(delta, az_bins: int, el_bins: int):
+    """Direction vectors [...,3] -> (range, az index, el index)."""
     r = jnp.linalg.norm(delta, axis=-1)
     az = jnp.arctan2(delta[..., 1], delta[..., 0])           # [-pi, pi]
     el = jnp.arcsin(jnp.clip(delta[..., 2] / jnp.maximum(r, 1e-9), -1.0, 1.0))
@@ -250,7 +258,7 @@ def _spherical_pixel(delta, az_bins: int, el_bins: int):
         jnp.floor((el / math.pi + 0.5) * el_bins).astype(jnp.int32),
         0, el_bins - 1,
     )
-    return r, ai * el_bins + ei
+    return r, ai, ei
 
 
 def integrate_scan_projective(
@@ -261,47 +269,91 @@ def integrate_scan_projective(
     valid: jax.Array,
     origin: jax.Array,
     window: Optional[Tuple[jax.Array, jax.Array]] = None,
-    az_bins: int = 1440,
-    el_bins: int = 720,
+    az_bins: int = 1024,
+    el_bins: int = 512,
+    levels: int = 7,
 ) -> ScanResult:
-    """Depth-panorama free-space carving (see module docstring).
+    """Depth-panorama free-space carving with a max-depth mip pyramid.
 
-    The panorama angular resolution (default 0.25 deg) should be at or below
-    the voxel angular size at max_ray_length; with res=0.05 m and 5 m range
-    that is ~0.57 deg, so the default oversamples by ~2x.
+    A voxel at range r subtends an angle ~res/r; it is considered carved if
+    *any* ray within that angular footprint sees past it — exactly the DDA
+    criterion "some ray crosses this voxel", evaluated as a gather instead of
+    millions of scatter updates.  The footprint query uses a max-depth 2x2
+    mip pyramid over the panorama: each voxel reads the level whose bin size
+    matches its footprint.  Nearby voxels read coarse levels (rays are dense
+    there), distant voxels read fine levels.
+
+    Divergence from the reference's per-ray DDA (documented): free space is
+    the union of per-footprint cones rather than exact voxel traversals, so
+    carving can differ within ~1 voxel at depth silhouettes.  Occupied
+    endpoints always win the fusion vote (2*hit >= miss), so obstacles are
+    never erased by over-carving.
     """
     clipped, rvalid, is_hit = _prep_rays(cfg, points, valid, origin)
     hit_m, epfree_m = _endpoint_masks(cfg, clipped, rvalid, is_hit, window)
 
-    # 1) scatter-min the scan into the panorama (use UNclipped ranges so
-    #    clipped rays still carve all the way to max_ray_length).
+    # 1) scatter-max the scan into the panorama (max: "farthest evidence per
+    #    direction"; unclipped ranges so long rays carve to max_ray_length).
     delta = points - origin
-    r, pix = _spherical_pixel(delta, az_bins, el_bins)
-    pix = jnp.where(rvalid, pix, -1)
-    pano = jnp.full((az_bins * el_bins,), _F32_INF, jnp.float32)
-    pano = pano.at[pix].min(r.astype(jnp.float32), mode="drop")
+    r, ai, ei = _spherical_coords(delta, az_bins, el_bins)
+    pix = jnp.where(rvalid, ai * el_bins + ei, az_bins * el_bins)
+    pano = jnp.full((az_bins * el_bins,), -_F32_INF, jnp.float32)
+    pano = pano.at[pix].max(
+        jnp.minimum(r, cfg.max_ray_length + cfg.resolution).astype(jnp.float32),
+        mode="drop",
+    ).reshape(az_bins, el_bins)
 
-    # 2) every voxel in the window gathers its pixel depth.
+    # 2) build the max-mip pyramid, flattened with per-level offsets.
+    levels = min(
+        levels,
+        int(math.log2(az_bins & -az_bins)),  # available halvings
+        int(math.log2(el_bins & -el_bins)),
+    )
+    pyramid = [pano]
+    for _ in range(levels - 1):
+        p = pyramid[-1]
+        a, e = p.shape
+        pyramid.append(
+            p.reshape(a // 2, 2, e // 2, 2).max(axis=(1, 3))
+        )
+    flat = jnp.concatenate([p.reshape(-1) for p in pyramid])
+    offsets = np.concatenate(
+        [[0], np.cumsum([p.size for p in pyramid])[:-1]]
+    ).astype(np.int32)
+
+    # 3) every voxel gathers its footprint's max depth from its mip level.
     shape = cfg.grid_shape
     gx, gy, gz = shape
     map_origin = jnp.asarray(cfg.origin, jnp.float32)
-    centers_x = (jnp.arange(gx, dtype=jnp.float32) + 0.5) * cfg.resolution + map_origin[0]
-    centers_y = (jnp.arange(gy, dtype=jnp.float32) + 0.5) * cfg.resolution + map_origin[1]
-    centers_z = (jnp.arange(gz, dtype=jnp.float32) + 0.5) * cfg.resolution + map_origin[2]
-    dxv = (centers_x - origin[0])[:, None, None]
-    dyv = (centers_y - origin[1])[None, :, None]
-    dzv = (centers_z - origin[2])[None, None, :]
+    cxs = (jnp.arange(gx, dtype=jnp.float32) + 0.5) * cfg.resolution + map_origin[0]
+    cys = (jnp.arange(gy, dtype=jnp.float32) + 0.5) * cfg.resolution + map_origin[1]
+    czs = (jnp.arange(gz, dtype=jnp.float32) + 0.5) * cfg.resolution + map_origin[2]
+    dxv = (cxs - origin[0])[:, None, None]
+    dyv = (cys - origin[1])[None, :, None]
+    dzv = (czs - origin[2])[None, None, :]
     dvox = jnp.stack(jnp.broadcast_arrays(dxv, dyv, dzv), axis=-1)
-    rv, vpix = _spherical_pixel(dvox, az_bins, el_bins)
-    depth = pano[vpix.reshape(-1)].reshape(shape)
+    rv, vai, vei = _spherical_coords(dvox, az_bins, el_bins)
 
-    observed = jnp.isfinite(depth)
+    base_ang = 2 * math.pi / az_bins
+    foot = cfg.resolution / jnp.maximum(rv, cfg.resolution)
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(foot / base_ang, 1.0))).astype(jnp.int32),
+        0, levels - 1,
+    )
+    el_l = jnp.asarray(
+        [el_bins >> l for l in range(levels)], jnp.int32
+    )[lvl]
+    idx = (
+        jnp.asarray(offsets)[lvl]
+        + (vai >> lvl) * el_l
+        + (vei >> lvl)
+    )
+    depth = flat[idx.reshape(-1)].reshape(shape)
+
     free = (
-        observed
-        & (rv >= cfg.min_ray_length)
+        (rv >= cfg.min_ray_length)
         & (rv <= cfg.max_ray_length)
-        & (rv < jnp.minimum(depth, cfg.max_ray_length + cfg.resolution)
-           - cfg.resolution)
+        & (rv < depth - cfg.resolution)   # -inf depth => unobserved => False
     )
     if window is not None:
         wmin, wmax = window

@@ -1,0 +1,368 @@
+"""Sensor pipeline and update scheduling (reference L3, include/Fiesta.h).
+
+What the reference's ROS node does:
+
+  * PoseCallback / DepthCallback enqueue timestamped messages
+    (Fiesta.h:441-479);
+  * SynchronizationAndProcess matches each depth frame to the latest pose
+    with stamp <= depth_time + 3 ms, dropping frames with no fresh pose
+    (Fiesta.h:385-439, component C14);
+  * matched frames are converted + raycast immediately (hot path #1);
+  * a 10 Hz timer drains accumulated observations into occupancy fusion and
+    an incremental ESDF update (UpdateEsdfEvent, Fiesta.h:481-539, hot
+    path #2).
+
+TPU-native redesign: the callbacks/timer become a host-side synchronizer
+(pure Python, no ROS) feeding two jitted device functions:
+
+  * ``integrate_scan``: transform cloud to world + carve + endpoint scatter
+    (replaces multithreaded DDA, components C9-C11);
+  * ``esdf_update``: fusion + incremental relaxation (components C4+C6).
+
+The map state lives in HBM across frames; nothing round-trips through the
+host except scan/pose ingestion and the scalars returned for logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FiestaConfig
+from .grid import (
+    MapState,
+    local_window,
+    local_window_np,
+    make_state,
+    occupied_grid,
+    window_mask,
+)
+from .ops import esdf, fusion, raycast
+from .ops.depth import depth_to_cloud, pose_to_matrix
+from .timing import Timer
+
+
+class UpdateStats(NamedTuple):
+    num_observed: jax.Array   # occupancy-queue size (ESDFMap.cpp:237)
+    num_inserted: jax.Array   # insert_queue_ size   (ESDFMap.cpp:277)
+    num_deleted: jax.Array    # delete_queue_ size   (ESDFMap.cpp:277)
+    num_sweeps: jax.Array     # relaxation sweeps ("Expanding N nodes" analog)
+
+
+# ---------------------------------------------------------------------------
+# Jitted step functions
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "method"), donate_argnames=("state",))
+def integrate_scan(
+    cfg: FiestaConfig,
+    state: MapState,
+    points_sensor: jax.Array,
+    valid: jax.Array,
+    transform: jax.Array,
+    window: Optional[Tuple[jax.Array, jax.Array]] = None,
+    method: str = "projective",
+) -> Tuple[MapState, raycast.ScanResult]:
+    """Transform one sensor-frame scan to world and accumulate its
+    observations into the hit/miss counters (single device dispatch)."""
+    r = transform[:3, :3]
+    t = transform[:3, 3]
+    points_world = points_sensor @ r.T + t          # Fiesta.h:204-205
+    origin = t                                       # raycast_origin_
+    fn = (
+        raycast.integrate_scan_projective
+        if method == "projective"
+        else raycast.integrate_scan_dda
+    )
+    res = fn(cfg, state.hit_cnt, state.miss_cnt, points_world, valid, origin,
+             window)
+    new_state = dataclasses.replace(
+        state, hit_cnt=res.hit_cnt, miss_cnt=res.miss_cnt
+    )
+    return new_state, res
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_window", "max_iters"),
+         donate_argnames=("state",))
+def esdf_update(
+    cfg: FiestaConfig,
+    state: MapState,
+    cur_pos: jax.Array,
+    use_window: bool = False,
+    max_iters: int = 0,
+) -> Tuple[MapState, UpdateStats]:
+    """Fusion + incremental ESDF (UpdateEsdfEvent body, Fiesta.h:507-521)."""
+    if use_window:
+        wmin, wmax = local_window(cfg, cur_pos)
+        wmask = window_mask(cfg, wmin, wmax)
+    else:
+        wmask = None
+
+    fr = fusion.fuse_counts(
+        cfg, state.logodds, state.seen, state.hit_cnt, state.miss_cnt,
+        window_mask=wmask,
+    )
+    d2, closest, sweeps = esdf.update_esdf(
+        state.d2, state.closest, fr.occupied, fr.insert_mask, fr.delete_mask,
+        wmask, cfg.relax_dirs, max_iters=max_iters,
+    )
+    new_state = MapState(
+        logodds=fr.logodds,
+        d2=d2,
+        closest=closest,
+        seen=fr.seen,
+        hit_cnt=jnp.zeros_like(state.hit_cnt),
+        miss_cnt=jnp.zeros_like(state.miss_cnt),
+    )
+    stats = UpdateStats(
+        num_observed=fr.num_observed,
+        num_inserted=jnp.sum(fr.insert_mask, dtype=jnp.int32),
+        num_deleted=jnp.sum(fr.delete_mask, dtype=jnp.int32),
+        num_sweeps=sweeps,
+    )
+    return new_state, stats
+
+
+# ---------------------------------------------------------------------------
+# Host-side pose/depth synchronization (component C14)
+# ---------------------------------------------------------------------------
+
+
+class ScanSynchronizer:
+    """Pose/depth timestamp matching (SynchronizationAndProcess semantics).
+
+    A depth frame is processed once a pose *newer* than
+    ``depth_time + time_delay`` exists (so the matched pose is final); the
+    match is the latest pose with stamp <= depth_time + time_delay; frames
+    with no matching pose are dropped (Fiesta.h:388-405).
+    """
+
+    def __init__(self, time_delay: float = 3e-3):
+        self.time_delay = time_delay
+        self.poses: deque = deque()   # (t, pos, quat)
+        self.depths: deque = deque()  # (t, payload)
+
+    def push_pose(self, t: float, pos, quat_wxyz) -> None:
+        self.poses.append((float(t), np.asarray(pos, np.float64),
+                           np.asarray(quat_wxyz, np.float64)))
+
+    def push_depth(self, t: float, payload) -> None:
+        self.depths.append((float(t), payload))
+
+    def drain(self):
+        """Yield (depth_payload, pose_t, pos, quat) matches."""
+        out = []
+        while self.depths:
+            dt, payload = self.depths[0]
+            cutoff = dt + self.time_delay
+            # wait until a newer pose guarantees the match is final
+            if not self.poses or self.poses[-1][0] <= cutoff:
+                break
+            match = None
+            while self.poses and self.poses[0][0] <= cutoff:
+                match = self.poses.popleft()
+            self.depths.popleft()
+            if match is None:
+                continue  # drop: no fresh pose (Fiesta.h:402-405)
+            out.append((payload, match[0], match[1], match[2]))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# The engine (reference Fiesta<DepthMsgType, PoseMsgType> equivalent)
+# ---------------------------------------------------------------------------
+
+
+class FiestaPipeline:
+    """End-to-end streaming ESDF engine.
+
+    Usage::
+
+        pipe = FiestaPipeline(cfg)
+        pipe.observe_pose(t, pos, quat_wxyz)
+        pipe.observe_cloud(t, points_cam)        # or observe_depth(t, img)
+        pipe.process()                            # sync + integrate scans
+        stats = pipe.update()                     # fusion + ESDF (10 Hz tick)
+        d, g = pipe.query_dist_grad(positions)
+    """
+
+    def __init__(self, cfg: FiestaConfig, method: str = "projective"):
+        cfg.validate()
+        self.cfg = cfg
+        self.method = method
+        self.state: MapState = make_state(cfg)
+        self.sync = ScanSynchronizer()
+        self.T_D_B = np.eye(4)   # dataset extrinsics (parameters.cpp:67-75)
+        self.T_B_C = np.eye(4)
+        self.cur_pos = np.zeros(3)
+        self.last_transform: Optional[np.ndarray] = None
+        self.last_depth = None
+        self.new_msg = False
+        self.esdf_cnt = 0
+        self.image_cnt = 0
+
+    # -- ingestion ---------------------------------------------------------
+
+    def observe_pose(self, t: float, pos, quat_wxyz) -> None:
+        self.sync.push_pose(t, pos, quat_wxyz)
+
+    def observe_cloud(self, t: float, points_cam) -> None:
+        """Sensor-frame point cloud (PointCloud2 input mode).
+
+        Accepts a numpy [N,3] array, or a pre-uploaded (points, valid)
+        device pair from ``preload_cloud`` (streaming benchmarks preload to
+        keep host->device DMA out of the timed path).
+        """
+        self.sync.push_depth(t, ("cloud", points_cam))
+
+    def preload_cloud(self, points_cam: np.ndarray):
+        """Pad + upload a scan once, ahead of streaming."""
+        pts = np.ascontiguousarray(points_cam, np.float32)
+        valid = np.isfinite(pts).all(axis=-1)
+        return self._pad_cloud(pts, valid)
+
+    def observe_depth(self, t: float, depth_m: np.ndarray) -> None:
+        """Depth image [H,W] in meters (Image input mode)."""
+        self.sync.push_depth(t, ("depth", depth_m))
+
+    # -- processing --------------------------------------------------------
+
+    def _build_transform(self, pos, quat) -> np.ndarray:
+        t_wb = np.asarray(pose_to_matrix(pos, quat))
+        return t_wb @ self.T_D_B @ self.T_B_C    # Fiesta.h:419
+
+    def _pad_cloud(self, pts: np.ndarray, valid: np.ndarray):
+        n = self.cfg.max_points_per_scan
+        if pts.shape[0] > n:
+            # keep a deterministic subsample (strided) to the static size
+            stride = -(-pts.shape[0] // n)
+            pts, valid = pts[::stride][:n], valid[::stride][:n]
+        pad = n - pts.shape[0]
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        return jnp.asarray(pts, jnp.float32), jnp.asarray(valid)
+
+    def process(self) -> int:
+        """Drain synchronized frames through conversion + integration.
+
+        Returns the number of frames integrated.
+        """
+        cfg = self.cfg
+        n_frames = 0
+        for payload, _, pos, quat in self.sync.drain():
+            transform = self._build_transform(pos, quat)
+            origin = jnp.asarray(transform[:3, 3], jnp.float32)
+
+            kind, data = payload
+            if kind == "depth":
+                self.image_cnt += 1
+                with Timer("depth"):
+                    use_filter = (
+                        cfg.use_depth_filter
+                        and self.image_cnt > 1
+                        and self.last_depth is not None
+                    )
+                    depth = jnp.asarray(data, jnp.float32)
+                    pts_cam, valid = depth_to_cloud(
+                        cfg,
+                        depth,
+                        jnp.asarray(transform, jnp.float32),
+                        jnp.asarray(
+                            self.last_transform
+                            if self.last_transform is not None
+                            else transform,
+                            jnp.float32,
+                        ),
+                        jnp.asarray(
+                            self.last_depth
+                            if self.last_depth is not None
+                            else data,
+                            jnp.float32,
+                        ),
+                        use_filter=use_filter,
+                    )
+                    if cfg.use_depth_filter:
+                        self.last_transform = transform
+                    self.last_depth = data
+                    if self.image_cnt == 1 and cfg.use_depth_filter:
+                        continue  # first frame yields nothing (Fiesta.h:353)
+                pts_j, valid_j = self._pad_cloud(
+                    np.asarray(pts_cam), np.asarray(valid)
+                )
+            elif isinstance(data, tuple):      # pre-uploaded device pair
+                pts_j, valid_j = data
+            else:
+                pts_cam = np.asarray(data, np.float32)
+                valid = np.isfinite(pts_cam).all(axis=-1)
+                pts_j, valid_j = self._pad_cloud(
+                    np.ascontiguousarray(pts_cam, np.float32), valid
+                )
+            with Timer("raycasting"):
+                win = None
+                if not cfg.global_update:
+                    wmin, wmax = local_window_np(cfg, pos)
+                    win = (jnp.asarray(wmin), jnp.asarray(wmax))
+                # async dispatch: no per-frame device sync (the tunnel
+                # round-trip is ~30 ms; XLA queues keep ordering correct)
+                self.state, _ = integrate_scan(
+                    cfg, self.state, pts_j, valid_j,
+                    jnp.asarray(transform, jnp.float32), win,
+                    method=self.method,
+                )
+
+            self.cur_pos = np.asarray(pos, np.float64)
+            self.new_msg = True
+            n_frames += 1
+        return n_frames
+
+    def update(self, max_iters: int = 0) -> Optional[UpdateStats]:
+        """The 10 Hz ESDF tick (UpdateEsdfEvent, Fiesta.h:481-539)."""
+        if not self.new_msg:
+            return None
+        self.new_msg = False
+        self.esdf_cnt += 1
+        with Timer("UpdateESDF"):
+            self.state, stats = esdf_update(
+                self.cfg,
+                self.state,
+                jnp.asarray(self.cur_pos, jnp.float32),
+                use_window=not self.cfg.global_update,
+                max_iters=max_iters,
+            )
+        return stats
+
+    def sync_device(self) -> None:
+        """Block until all queued device work for the map has finished."""
+        jax.block_until_ready(self.state.d2)
+
+    # -- queries -----------------------------------------------------------
+
+    def distance_grid(self) -> jax.Array:
+        from .ops.query import distance_grid
+
+        return distance_grid(self.cfg, self.state.d2, self.state.seen)
+
+    def query_distance(self, positions) -> jax.Array:
+        from .ops.query import get_distance
+
+        return get_distance(
+            self.cfg, self.distance_grid(), jnp.asarray(positions, jnp.float32)
+        )
+
+    def query_dist_grad(self, positions):
+        from .ops.query import get_dist_grad_trilinear
+
+        return get_dist_grad_trilinear(
+            self.cfg, self.distance_grid(), jnp.asarray(positions, jnp.float32)
+        )
+
+    def occupied(self) -> jax.Array:
+        return occupied_grid(self.cfg, self.state.logodds)

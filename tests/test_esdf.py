@@ -106,6 +106,36 @@ def test_relax_fixpoint_near_exact(seed):
     assert not bool(changed)
 
 
+def test_jump_accelerated_relaxation():
+    """Long-range jump offsets: same-or-better accuracy, far fewer sweeps."""
+    from fiesta_tpu.config import jump_offsets
+
+    shape = (96, 24, 16)
+    occ = np.zeros(shape, bool)
+    occ[2, 12, 8] = True   # single obstacle; wavefront must cross ~94 voxels
+    from fiesta_tpu.grid import UNDEFINED_COORD, coord_grids
+
+    seeds_d2 = jnp.where(jnp.asarray(occ), 0, INF_D2)
+    closest0 = jnp.where(
+        jnp.asarray(occ)[None], coord_grids(shape), UNDEFINED_COORD
+    )
+
+    d2_a, c_a, it_a = esdf.relax_to_fixpoint(
+        seeds_d2, closest0, None, None, DIRS
+    )
+    jump_dirs = DIRS + tuple(
+        d for d in jump_offsets(64) if all(abs(d[i]) < shape[i] for i in range(3))
+    )
+    d2_b, c_b, it_b = esdf.relax_to_fixpoint(
+        seeds_d2, closest0, None, None, jump_dirs
+    )
+    check_invariants(d2_b, c_b, occ)
+    assert int(it_b) < int(it_a) / 2, (int(it_a), int(it_b))
+    # jumps only tighten the fixpoint toward the exact EDT
+    assert np.all(np.asarray(d2_b) <= np.asarray(d2_a))
+    assert np.all(np.asarray(d2_b).astype(np.int64) >= exact_edt_d2(occ))
+
+
 def test_incremental_insert_matches_batch():
     """Inserting obstacles in two batches == inserting them all at once."""
     shape = (16, 16, 12)

@@ -1,0 +1,156 @@
+"""End-to-end pipeline tests: synthetic replay -> ESDF accuracy.
+
+Replicates the reference's integration test protocol (SURVEY.md section 4):
+replay a sensor sequence, then check the resulting ESDF against exact
+nearest-neighbor distances over the *mapped* occupied voxels (the role of
+CheckWithGroundTruth, ESDFMap.cpp:905-1054).
+"""
+
+import numpy as np
+import pytest
+
+from fiesta_tpu import FiestaConfig
+from fiesta_tpu.io import replay
+from fiesta_tpu.pipeline import FiestaPipeline
+
+from fiesta_tpu.io.replay import scale_intrinsics
+
+SMALL = scale_intrinsics(
+    FiestaConfig(
+        resolution=0.1,
+        origin=(-3.0, -3.0, -0.5),
+        map_size=(6.0, 6.0, 2.0),
+        min_ray_length=0.3,
+        max_ray_length=6.0,
+        max_points_per_scan=120 * 160,
+    ),
+    height=120, width=160,
+)
+
+
+def _run_replay(method, kind="cloud", n_frames=10, cfg=SMALL):
+    """Stream frames at 30 Hz with the 10 Hz ESDF tick interleaved
+    (UpdateEsdfEvent cadence, launch/*.launch:6)."""
+    world, frames = replay.make_sequence(
+        cfg, n_frames=n_frames, n_boxes=6, seed=3, kind=kind
+    )
+    pipe = FiestaPipeline(cfg, method=method)
+    n = 0
+    total_inserted = 0
+    for i, (t, (pos, quat), scan) in enumerate(frames):
+        pipe.observe_pose(t, pos, quat)
+        if kind == "cloud":
+            pipe.observe_cloud(t, scan)
+        else:
+            pipe.observe_depth(t, scan)
+        n += pipe.process()
+        if i % 3 == 2:
+            stats = pipe.update()
+            if stats is not None:
+                total_inserted += int(stats.num_inserted)
+    # final pose so the synchronizer can finalize the last frame
+    pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
+    n += pipe.process()
+    stats = pipe.update()
+    if stats is not None:
+        total_inserted += int(stats.num_inserted)
+    assert n >= n_frames - 1
+    assert total_inserted > 0
+    return world, pipe
+
+
+@pytest.mark.parametrize("method", ["projective", "dda"])
+def test_replay_builds_accurate_esdf(method):
+    world, pipe = _run_replay(method)
+    cfg = pipe.cfg
+
+    occ_map = np.asarray(pipe.occupied())
+    occ_true = world.occupied_voxels(cfg)
+
+    # Mapped obstacles must be real surfaces (no hallucinated obstacles far
+    # from true geometry): every occupied map voxel within 1 voxel of truth.
+    from scipy import ndimage
+
+    true_dist = ndimage.distance_transform_edt(~occ_true)
+    assert occ_map.sum() > 50, "map should contain observed surfaces"
+    frac_bad = (true_dist[occ_map] > 2.0).mean()
+    assert frac_bad < 0.05, f"{frac_bad:.1%} of mapped voxels far from truth"
+
+    # ESDF distances agree with exact NN over mapped obstacles
+    # (CheckWithGroundTruth semantics: positive small overestimates).
+    d_map = np.asarray(pipe.distance_grid())
+    known = d_map < cfg.infinity_distance
+    assert known.any()
+    if occ_map.any():
+        map_dist = ndimage.distance_transform_edt(~occ_map) * cfg.resolution
+        err = d_map[known] - map_dist[known]
+        assert err.min() > -1e-4, "ESDF must never underestimate"
+        assert np.abs(err).max() < 0.35, f"max ESDF error {np.abs(err).max()}"
+        assert (np.abs(err) > 1e-3).mean() < 0.05
+
+
+def test_replay_depth_image_mode():
+    world, pipe = _run_replay("projective", kind="depth", n_frames=6)
+    assert int(np.asarray(pipe.occupied()).sum()) > 0
+
+
+def test_query_api():
+    _, pipe = _run_replay("projective", n_frames=6)
+    pts = np.array([[0.0, 0.0, 0.5], [99.0, 0.0, 0.0]])
+    d = np.asarray(pipe.query_distance(pts))
+    assert d[1] == -10000.0  # out of map (reference undefined_)
+    dg, grad = pipe.query_dist_grad(pts)
+    dg, grad = np.asarray(dg), np.asarray(grad)
+    assert dg[1] == -1.0 and np.all(grad[1] == 0)
+    assert np.isfinite(dg[0])
+    # gradient magnitude of a distance field is <= ~1 where known
+    if dg[0] < pipe.cfg.infinity_distance / 2:
+        assert np.linalg.norm(grad[0]) < 3.0
+
+
+def test_synchronizer_semantics():
+    from fiesta_tpu.pipeline import ScanSynchronizer
+
+    s = ScanSynchronizer(time_delay=3e-3)
+    s.push_depth(1.0, "d1")
+    # no pose newer than cutoff yet -> wait
+    s.push_pose(0.99, [0, 0, 0], [1, 0, 0, 0])
+    assert s.drain() == []
+    # newer pose arrives -> frame matched to latest pose <= 1.003
+    s.push_pose(1.002, [1, 1, 1], [1, 0, 0, 0])
+    s.push_pose(1.5, [2, 2, 2], [1, 0, 0, 0])
+    out = s.drain()
+    assert len(out) == 1
+    payload, t, pos, _ = out[0]
+    assert payload == "d1" and t == 1.002 and pos[0] == 1
+
+    # frame with no pose <= cutoff is dropped
+    s.push_depth(0.5, "d0")
+    assert s.drain() == []  # poses at 1.5 remain but none <= 0.503
+    s.push_depth(1.4, "d2")
+    s.push_pose(2.0, [3, 3, 3], [1, 0, 0, 0])
+    out = s.drain()
+    # d0 dropped (no pose), d2 matched? no pose <= 1.403 remains (1.002 was
+    # consumed) except... 1.5 > 1.403 -> d2 dropped too
+    assert out == []
+
+
+def test_local_window_update_mode():
+    cfg = scale_intrinsics(
+        FiestaConfig(
+            resolution=0.1,
+            origin=(-3.0, -3.0, -0.5),
+            map_size=(6.0, 6.0, 2.0),
+            min_ray_length=0.3,
+            max_ray_length=6.0,
+            max_points_per_scan=120 * 160,
+            global_update=False,
+            global_vis=False,
+            radius=(2.0, 2.0, 1.0),
+        ),
+        height=120, width=160,
+    )
+    world, pipe = _run_replay("projective", n_frames=6, cfg=cfg)
+    # updates happened and distances exist near the robot
+    d = np.asarray(pipe.distance_grid())
+    assert (d < cfg.infinity_distance).any()

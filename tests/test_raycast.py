@@ -1,0 +1,240 @@
+"""Raycast/fusion integration tests (components C4, C9-C11)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fiesta_tpu import FiestaConfig
+from fiesta_tpu.ops import fusion, raycast
+
+CFG = FiestaConfig(
+    resolution=0.1,
+    origin=(-2.0, -2.0, -1.0),
+    map_size=(4.0, 4.0, 2.0),
+    min_ray_length=0.2,
+    max_ray_length=3.0,
+)
+
+
+def _dda_reference(start, end, aabb_min, aabb_max):
+    """Scalar Amanatides-Woo reference (clean-room, raycast.cpp semantics)."""
+    out = []
+    x, y, z = (int(np.floor(c)) for c in start)
+    ex, ey, ez = (int(np.floor(c)) for c in end)
+    d = np.array([ex - x, ey - y, ez - z], float)
+    step = np.sign(d).astype(int)
+    if (step == 0).all():
+        return out
+
+    def intbound(s, ds):
+        if ds == 0:
+            return np.inf
+        if ds < 0:
+            s, ds = -s, -ds
+        return (1 - (s % 1.0)) / ds
+
+    tmax = np.array([intbound(start[i], d[i]) for i in range(3)])
+    tdelta = np.where(d == 0, np.inf, step / d)
+    maxd2 = float(np.sum((np.array(end) - np.array(start)) ** 2))
+    for _ in range(10000):
+        v = np.array([x, y, z], float)
+        if np.all(v >= aabb_min) and np.all(v < aabb_max):
+            out.append((x, y, z))
+            if np.sum((v - start) ** 2) > maxd2:
+                return out
+        if (x, y, z) == (ex, ey, ez):
+            return out
+        if tmax[0] < tmax[1]:
+            if tmax[0] < tmax[2]:
+                x += step[0]; tmax[0] += tdelta[0]
+            else:
+                z += step[2]; tmax[2] += tdelta[2]
+        else:
+            if tmax[1] < tmax[2]:
+                y += step[1]; tmax[1] += tdelta[1]
+            else:
+                z += step[2]; tmax[2] += tdelta[2]
+    raise AssertionError("runaway DDA")
+
+
+def _integrate(method, points, origin, cfg=CFG):
+    shape = cfg.grid_shape
+    hit = jnp.zeros(shape, jnp.int32)
+    miss = jnp.zeros(shape, jnp.int32)
+    pts = jnp.asarray(points, jnp.float32)
+    valid = jnp.ones(len(points), bool)
+    fn = (raycast.integrate_scan_dda if method == "dda"
+          else raycast.integrate_scan_projective)
+    return fn(cfg, hit, miss, pts, valid, jnp.asarray(origin, jnp.float32))
+
+
+@pytest.mark.parametrize("method", ["dda", "projective"])
+def test_single_ray_hit_and_carve(method):
+    origin = np.array([0.0, 0.0, 0.0])
+    point = np.array([1.55, 0.0, 0.0])
+    res = _integrate(method, [point], origin)
+    hit = np.asarray(res.hit_cnt)
+    miss = np.asarray(res.miss_cnt)
+
+    # endpoint voxel gets a hit
+    ev = tuple(np.floor((point - np.asarray(CFG.origin)) / CFG.resolution).astype(int))
+    assert hit[ev] == 1 and miss[ev] >= 1
+
+    # voxels strictly between min_ray and the endpoint along +x are misses
+    for xs in np.arange(0.35, 1.4, 0.1):
+        v = tuple(np.floor((np.array([xs, 0, 0]) - np.asarray(CFG.origin))
+                           / CFG.resolution).astype(int))
+        assert miss[v] >= 1, f"voxel at x={xs} not carved ({method})"
+        assert hit[v] == 0
+
+    # voxels closer than min_ray_length stay untouched
+    v = tuple(np.floor((np.array([0.05, 0, 0]) - np.asarray(CFG.origin))
+                       / CFG.resolution).astype(int))
+    assert miss[v] == 0
+
+
+@pytest.mark.parametrize("method", ["dda", "projective"])
+def test_long_ray_clipped_free(method):
+    """Rays beyond max_ray_length carve to the clip point and mark the
+    clipped endpoint free, not hit (Fiesta.h:211-213)."""
+    cfg = FiestaConfig(
+        resolution=0.1,
+        origin=(-2.0, -2.0, -1.0),
+        map_size=(4.0, 4.0, 2.0),
+        min_ray_length=0.2,
+        max_ray_length=1.5,
+    )
+    origin = np.array([0.0, 0.0, 0.0])
+    point = np.array([3.9, 0.0, 0.0])         # clipped at x=1.5
+    res = _integrate(method, [point], origin, cfg=cfg)
+    hit = np.asarray(res.hit_cnt)
+    assert hit.sum() == 0  # no occupied endpoints
+    miss = np.asarray(res.miss_cnt)
+    # clipped endpoint voxel marked free
+    ev = tuple(np.floor((np.array([1.5, 0, 0]) - np.asarray(cfg.origin))
+                        / cfg.resolution).astype(int))
+    assert miss[ev] >= 1
+    # path voxel before the clip point carved
+    v = tuple(np.floor((np.array([1.3, 0, 0]) - np.asarray(cfg.origin))
+                       / cfg.resolution).astype(int))
+    assert miss[v] >= 1
+    # nothing beyond the clip radius
+    v = tuple(np.floor((np.array([1.8, 0, 0]) - np.asarray(cfg.origin))
+                       / cfg.resolution).astype(int))
+    assert miss[v] == 0
+
+
+@pytest.mark.parametrize("method", ["dda", "projective"])
+def test_short_ray_skipped(method):
+    origin = np.array([0.0, 0.0, 0.0])
+    res = _integrate(method, [np.array([0.1, 0.0, 0.0])], origin)
+    assert np.asarray(res.hit_cnt).sum() == 0
+    assert np.asarray(res.miss_cnt).sum() == 0
+    assert int(res.num_rays) == 0
+
+
+@pytest.mark.parametrize("method", ["dda", "projective"])
+def test_nan_points_ignored(method):
+    origin = np.array([0.0, 0.0, 0.0])
+    res = _integrate(method, [np.array([np.nan, 0.0, 0.0])], origin)
+    assert np.asarray(res.miss_cnt).sum() == 0
+
+
+def test_dda_voxel_set_matches_scalar_reference():
+    """The batched DDA visits exactly the voxels of the scalar algorithm."""
+    rng = np.random.default_rng(7)
+    origin = np.array([0.13, -0.21, 0.05])
+    res_m = CFG.resolution
+    aabb_min = np.asarray(CFG.origin) / res_m
+    aabb_max = (np.asarray(CFG.origin) + np.asarray(CFG.map_size)) / res_m
+
+    points = origin + rng.normal(size=(20, 3)) * 1.0
+    res = _integrate("dda", points, origin)
+    miss = np.asarray(res.miss_cnt)
+    hit = np.asarray(res.hit_cnt)
+
+    exp_path = np.zeros(CFG.grid_shape, bool)
+    exp_ep_hit = np.zeros(CFG.grid_shape, bool)
+    exp_ep_free = np.zeros(CFG.grid_shape, bool)
+    for p in points:
+        length = np.linalg.norm(p - origin)
+        if length < CFG.min_ray_length:
+            continue
+        clipped = p if length <= CFG.max_ray_length else (
+            origin + (p - origin) / length * CFG.max_ray_length
+        )
+        ev = np.floor((clipped - np.asarray(CFG.origin)) / res_m).astype(int)
+        if np.all(ev >= 0) and np.all(ev < CFG.grid_shape):
+            if length <= CFG.max_ray_length:
+                exp_ep_hit[tuple(ev)] = True
+            else:
+                exp_ep_free[tuple(ev)] = True
+        vox = _dda_reference(origin / res_m, clipped / res_m, aabb_min, aabb_max)
+        for wv in vox[:-1]:
+            center = (np.array(wv) + 0.5) * res_m
+            clen = np.linalg.norm(center - origin)
+            if not (CFG.min_ray_length <= clen <= CFG.max_ray_length):
+                continue
+            mv = np.floor((center - np.asarray(CFG.origin)) / res_m).astype(int)
+            if np.all(mv >= 0) and np.all(mv < CFG.grid_shape):
+                exp_path[tuple(mv)] = True
+
+    exp_ep_free &= ~exp_ep_hit
+    np.testing.assert_array_equal(hit > 0, exp_ep_hit)
+    exp_miss = exp_ep_hit.astype(int) + exp_ep_free.astype(int) + exp_path.astype(int)
+    np.testing.assert_array_equal(miss, exp_miss)
+
+
+def test_fusion_vote_and_flip():
+    cfg = CFG
+    shape = cfg.grid_shape
+    lo = jnp.zeros(shape, jnp.float32)
+    seen = jnp.zeros(shape, bool)
+    hit = jnp.zeros(shape, jnp.int32).at[5, 5, 5].set(1)
+    miss = jnp.zeros(shape, jnp.int32).at[5, 5, 5].set(1).at[6, 5, 5].set(1)
+
+    r = fusion.fuse_counts(cfg, lo, seen, hit, miss)
+    # hit voxel moves toward occupied, free voxel toward free
+    assert float(r.logodds[5, 5, 5]) == pytest.approx(cfg.prob_hit_log)
+    assert float(r.logodds[6, 5, 5]) == pytest.approx(
+        max(cfg.prob_miss_log, cfg.clamp_min_log)
+    )
+    assert bool(r.seen[5, 5, 5]) and bool(r.seen[6, 5, 5])
+    assert not bool(r.seen[7, 5, 5])
+    assert int(r.num_observed) == 2
+    # one hit is not enough to cross p_occ=0.8 from 0.5
+    assert not bool(r.occupied[5, 5, 5])
+
+    # repeat hits until it flips
+    state_lo, state_seen = r.logodds, r.seen
+    flipped = False
+    for _ in range(5):
+        r = fusion.fuse_counts(cfg, state_lo, state_seen, hit, miss)
+        state_lo = r.logodds
+        if bool(r.insert_mask[5, 5, 5]):
+            flipped = True
+            break
+    assert flipped
+
+    # carving it repeatedly flips it back exactly once
+    free_miss = jnp.zeros(shape, jnp.int32).at[5, 5, 5].set(1)
+    zero_hit = jnp.zeros(shape, jnp.int32)
+    deleted = 0
+    for _ in range(10):
+        r = fusion.fuse_counts(cfg, state_lo, state_seen, zero_hit, free_miss)
+        state_lo = r.logodds
+        deleted += int(r.delete_mask[5, 5, 5])
+    assert deleted == 1
+
+
+def test_fusion_clamps():
+    cfg = CFG
+    shape = cfg.grid_shape
+    lo = jnp.zeros(shape, jnp.float32)
+    seen = jnp.zeros(shape, bool)
+    hit = jnp.ones(shape, jnp.int32)
+    miss = jnp.ones(shape, jnp.int32)
+    for _ in range(30):
+        r = fusion.fuse_counts(cfg, lo, seen, hit, miss)
+        lo = r.logodds
+    assert float(lo.max()) == pytest.approx(cfg.clamp_max_log)
