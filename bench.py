@@ -54,7 +54,7 @@ def main():
         height=h, width=w, period=12.0, orbit_radius=5.0,
     )
     log(f"rendered {len(frames)} frames in {time.perf_counter()-t0:.1f}s")
-    pipe = FiestaPipeline(cfg, method="projective")
+    pipe = FiestaPipeline(cfg, method="scanline")
 
     # Pre-upload scans: sensor DMA is not part of the compute pipeline the
     # reference times either (its timers start after ROS message decode).

@@ -172,6 +172,15 @@ class FiestaConfig:
     # Exponential long-range relaxation offsets (0 = off, parity mode).
     # See jump_offsets(): preserves correctness, converges in O(log) sweeps.
     accel_jumps: int = 64
+    # ESDF maintenance strategy:
+    #   "rebuild":     fixed-cost exact truncated EDT every update (Pallas
+    #                  kernel; hard real-time, exact within trunc_dist).
+    #   "incremental": queue-semantics masked relaxation (reference parity,
+    #                  unbounded distances).
+    esdf_mode: str = "rebuild"
+    # Truncation radius (meters) for rebuild mode; distances beyond read as
+    # infinity.  Planners consume distances well below sensor range.
+    trunc_dist: float = 5.0
     # Rays are padded to this many points per scan (static shapes under jit).
     max_points_per_scan: int = 65536
     # Max DDA steps per ray; 0 => derive from max_ray_length / resolution.

@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: exact truncated Euclidean distance transform.
+
+The production ESDF path.  Where the reference maintains distances
+*incrementally* (queues + linked lists, src/ESDFMap.cpp:273-398) because CPU
+recomputation is unaffordable, on TPU a full exact rebuild is a fixed-cost
+streaming computation:
+
+    d2[v] = min_{|j - v|_inf <= T} (0 if occupied[j]) + |v - j|^2
+
+computed with the separable min-plus decomposition — one windowed 1-D pass
+per axis:
+
+    pass_axis(f)[i] = min_{|d| <= T}  f[i + d] + d^2
+
+Each pass is a Pallas kernel: a column block lives in VMEM and the window
+loop is two VPU ops (add + min) per offset — no gathers, no scatters, no
+linked lists.  Cost is exactly (2T+1) * N adds+mins per axis, independent of
+scene content; with T = max_ray_length the whole cow_and_lady grid rebuilds
+in a few milliseconds, giving a *hard real-time* ESDF update (the reference's
+incremental update time varies with the change set).
+
+Truncation semantics: distances are exact up to T voxels (any true nearest
+obstacle within L_inf radius T is found); beyond that the result reads as
+infinity.  This is *more* accurate than the reference within T (its
+24-neighbor BFS overestimates, ESDFMap.cpp:940-975 measures its own error)
+and intentionally truncated beyond T (planners consume distances well under
+the sensor range).  The unbounded queue-semantics path remains available via
+ops.esdf.update_esdf.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...grid import INF_D2
+
+# plain Python int: jnp scalars would be captured as constants inside
+# pallas kernels, which pallas_call rejects
+_INF_EDT = 1 << 20
+
+
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target."""
+    b = min(n, target)
+    while n % b:
+        b -= 1
+    return b
+
+
+def _minplus_pass_pallas(f: jax.Array, t: int) -> jax.Array:
+    """One windowed min-plus pass along the LEADING axis of [A, M, L]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a, m, l = f.shape
+    t = min(t, a - 1)
+    fpad = jnp.pad(f, ((t, t), (0, 0), (0, 0)), constant_values=_INF_EDT)
+
+    # Mosaic constraint: last two block dims divisible by (8, 128) or equal
+    # to the full array dims.
+    bm = _pick_block(m, 8) if m % 8 == 0 else m
+    bl = 128 if l % 128 == 0 else l
+
+    def kernel(fp_ref, out_ref):
+        def body(d, acc):
+            return jnp.minimum(acc, fp_ref[pl.ds(d, a), :, :] + (d - t) ** 2)
+
+        out_ref[:, :, :] = jax.lax.fori_loop(
+            0, 2 * t + 1, body,
+            jnp.full((a, bm, bl), _INF_EDT, jnp.int32),
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((a, m, l), jnp.int32),
+        grid=(m // bm, l // bl),
+        in_specs=[
+            pl.BlockSpec(
+                (a + 2 * t, bm, bl),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (a, bm, bl), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+    )(fpad)
+
+
+def _minplus_pass_xla(f: jax.Array, t: int) -> jax.Array:
+    """Reference/fallback implementation (shift loop) for non-TPU backends."""
+    a = f.shape[0]
+    t = min(t, a - 1)
+    fpad = jnp.pad(f, ((t, t), (0, 0), (0, 0)), constant_values=_INF_EDT)
+
+    def body(d, acc):
+        sl = jax.lax.dynamic_slice_in_dim(fpad, d, a, axis=0)
+        return jnp.minimum(acc, sl + (d - t) ** 2)
+
+    return jax.lax.fori_loop(
+        0, 2 * t + 1, body, jnp.full(f.shape, _INF_EDT, jnp.int32)
+    )
+
+
+def _minplus_pass(f: jax.Array, t: int) -> jax.Array:
+    if jax.default_backend() == "tpu":
+        return _minplus_pass_pallas(f, t)
+    return _minplus_pass_xla(f, t)
+
+
+@partial(jax.jit, static_argnames=("trunc_vox",))
+def truncated_edt_d2(occupied: jax.Array, trunc_vox: int) -> jax.Array:
+    """Exact squared EDT of ``occupied`` [X,Y,Z], truncated at ``trunc_vox``.
+
+    Returns int32 [X,Y,Z]: exact |v - nearest obstacle|^2 (voxel units) for
+    all voxels within trunc_vox of an obstacle, INF_D2 beyond.
+    """
+    f = jnp.where(occupied, 0, _INF_EDT).astype(jnp.int32)
+    t = int(trunc_vox)
+
+    p1 = _minplus_pass(f, t)                                  # [X,Y,Z]
+    p2 = _minplus_pass(p1.transpose(1, 0, 2), t)              # [Y,X,Z]
+    p3 = _minplus_pass(p2.transpose(2, 1, 0), t)              # [Z,X,Y]
+    d2 = p3.transpose(1, 2, 0)
+    return jnp.where(d2 <= t * t, d2, INF_D2)
+
+
+def trunc_vox_for(resolution: float, trunc_dist: float) -> int:
+    return int(math.ceil(trunc_dist / resolution))

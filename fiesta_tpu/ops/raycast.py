@@ -245,6 +245,259 @@ def integrate_scan_dda(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Scanline (shadow-casting) carve — gather-free fast path
+# ---------------------------------------------------------------------------
+
+
+def _shift2d(slab, dy: int, dz: int):
+    """Static shift of a [Y, Z] slab with zero fill."""
+    y, z = slab.shape
+    out = slab
+    if dy:
+        blk = jnp.zeros((abs(dy), z), slab.dtype)
+        out = (jnp.concatenate([out[dy:], blk], 0) if dy > 0
+               else jnp.concatenate([blk, out[:dy]], 0))
+    if dz:
+        blk = jnp.zeros((out.shape[0], abs(dz)), slab.dtype)
+        out = (jnp.concatenate([out[:, dz:], blk], 1) if dz > 0
+               else jnp.concatenate([blk, out[:, :dz]], 1))
+    return out
+
+
+def _taps_max(carry, f2, f3):
+    """Max over the 4 cells bracketing per-voxel LOS offsets (f2 [Y], f3 [Z]
+    in (-1,1)).  Separable: 3 masked y-shifts then 3 masked z-shifts."""
+    b2 = jnp.floor(f2)
+    b3 = jnp.floor(f3)
+    y, z = carry.shape
+    t = jnp.zeros_like(carry)
+    for d in (-1, 0, 1):
+        m = ((b2 == d) | (b2 == d - 1))[:, None]
+        t = jnp.maximum(t, jnp.where(m, _shift2d(carry, d, 0), 0.0))
+    out = jnp.zeros_like(carry)
+    for d in (-1, 0, 1):
+        m = ((b3 == d) | (b3 == d - 1))[None, :]
+        out = jnp.maximum(out, jnp.where(m, _shift2d(t, 0, d), 0.0))
+    return out
+
+
+def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3):
+    """One fused pass for the +axis and -axis dominant octants.
+
+    seeds_* [A, Y, Z]: seeds masked to each octant.  ``po`` = (axis, y, z)
+    sensor position in this orientation's index units; c2 [Y], c3 [Z] are
+    the coordinate vectors of the trailing axes.  The positive octant
+    processes slabs far->near from the high end while the negative octant
+    simultaneously processes from the low end — one ``lax.scan`` drives
+    both wavefronts (halving sequential-step overhead).
+
+    For slab i the line of sight through (i, y, z) meets the next-farther
+    slab at offsets f = (c - o) / |i - po_axis| in both directions.
+    """
+    a = seeds_pos.shape[0]
+    sp_rev = seeds_pos[::-1]
+    idx_pos = jnp.arange(a - 1, -1, -1, dtype=jnp.float32)
+    idx_neg = jnp.arange(0, a, dtype=jnp.float32)
+
+    o2 = c2 - po[1]
+    o3 = c3 - po[2]
+
+    def step(carry, inp):
+        cp, cn = carry
+        sp, sn, ip, ineg = inp
+        dp = jnp.maximum(jnp.abs(ip - po[0]), 0.5)
+        dn = jnp.maximum(jnp.abs(ineg - po[0]), 0.5)
+        new_p = jnp.maximum(sp, _taps_max(cp, o2 / dp, o3 / dp))
+        new_n = jnp.maximum(sn, _taps_max(cn, o2 / dn, o3 / dn))
+        return (new_p, new_n), (new_p, new_n)
+
+    zero = jnp.zeros_like(seeds_pos[0])
+    _, (wp_rev, wn) = jax.lax.scan(
+        step, (zero, zero), (sp_rev, seeds_neg, idx_pos, idx_neg)
+    )
+    return wp_rev[::-1], wn
+
+
+def carve_free_mask(
+    cfg: FiestaConfig,
+    seeds: jax.Array,
+    po: jax.Array,
+) -> jax.Array:
+    """Gather-free free-space carving from endpoint range seeds.
+
+    ``seeds`` [BX,BY,BZ] f32: observation range splatted at endpoint voxels
+    (hits: ray length; clipped rays: max_ray_length + resolution), 0
+    elsewhere; ``po``: sensor position in box index units.  Returns the
+    free mask: voxels with sensor distance in [min_ray, max_ray] and
+    strictly closer (by one voxel) than the observed surface along their
+    direction.
+
+    Method: 3 fused dual-octant scans (dominant +-x, +-y, +-z) propagate the
+    max observation range inward (far -> near).  Occlusion is implicit — a
+    voxel behind a surface never receives W because information only flows
+    toward the sensor.  Per-voxel lines of sight use separable fractional
+    taps, so the carve matches per-ray DDA within ~1 voxel at silhouettes;
+    occupied endpoints always win the fusion vote, so obstacles are never
+    erased by over-carving.
+    """
+    bx, by, bz = seeds.shape
+    xs = jnp.arange(bx, dtype=jnp.float32)
+    ys = jnp.arange(by, dtype=jnp.float32)
+    zs = jnp.arange(bz, dtype=jnp.float32)
+    dx = (xs - po[0])[:, None, None]
+    dy = (ys - po[1])[None, :, None]
+    dz = (zs - po[2])[None, None, :]
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+
+    octx = (adx >= ady) & (adx >= adz)
+    octy = ~octx & (ady >= adz)
+    octz = ~octx & ~octy
+
+    wxp, wxn = _dual_octant_scan(
+        jnp.where(octx & (dx > 0), seeds, 0.0),
+        jnp.where(octx & (dx <= 0), seeds, 0.0),
+        (po[0], po[1], po[2]), ys, zs,
+    )
+    W = jnp.maximum(wxp, wxn)
+
+    sy = seeds.transpose(1, 0, 2)
+    my_p = (octy & (dy > 0)).transpose(1, 0, 2)
+    my_n = (octy & (dy <= 0)).transpose(1, 0, 2)
+    wyp, wyn = _dual_octant_scan(
+        jnp.where(my_p, sy, 0.0), jnp.where(my_n, sy, 0.0),
+        (po[1], po[0], po[2]), xs, zs,
+    )
+    W = jnp.maximum(W, jnp.maximum(wyp, wyn).transpose(1, 0, 2))
+
+    sz = seeds.transpose(2, 0, 1)
+    mz_p = (octz & (dz > 0)).transpose(2, 0, 1)
+    mz_n = (octz & (dz <= 0)).transpose(2, 0, 1)
+    wzp, wzn = _dual_octant_scan(
+        jnp.where(mz_p, sz, 0.0), jnp.where(mz_n, sz, 0.0),
+        (po[2], po[0], po[1]), xs, ys,
+    )
+    W = jnp.maximum(W, jnp.maximum(wzp, wzn).transpose(1, 2, 0))
+
+    rv = jnp.sqrt(dx * dx + dy * dy + dz * dz) * cfg.resolution
+    return (
+        (rv >= cfg.min_ray_length)
+        & (rv <= cfg.max_ray_length)
+        & (rv < W - cfg.resolution)
+    )
+
+
+def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:
+    """Static shape of the carve box: everything a scan can touch lies
+    within max_ray_length of the sensor, so integration cost is independent
+    of map size."""
+    r = int(math.ceil((cfg.max_ray_length + 2 * cfg.resolution)
+                      / cfg.resolution)) + 2
+    return tuple(min(g, 2 * r + 1) for g in cfg.grid_shape)
+
+
+def integrate_scan_scanline(
+    cfg: FiestaConfig,
+    hit_cnt: jax.Array,
+    miss_cnt: jax.Array,
+    points: jax.Array,
+    valid: jax.Array,
+    origin: jax.Array,
+    window: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> ScanResult:
+    """Scan integration via octant shadow-casting (TPU fast path).
+
+    Endpoint observation ranges are splatted into a sensor-centered box
+    (one small scatter), then ``carve_free_mask`` propagates them inward —
+    no per-element gathers, which XLA executes at ~9 us per thousand
+    elements on TPU (the panorama variant's bottleneck).  All dense work is
+    box-local; the full-grid counters are touched only through dynamic
+    slices.
+    """
+    gx, gy, gz = cfg.grid_shape
+    bx, by, bz = _carve_box_shape(cfg)
+    nb = bx * by * bz
+    clipped, rvalid, is_hit = _prep_rays(cfg, points, valid, origin)
+
+    map_origin = jnp.asarray(cfg.origin, jnp.float32)
+    po_grid = (origin - map_origin) / cfg.resolution - 0.5
+    starts = jnp.clip(
+        jnp.round(po_grid).astype(jnp.int32)
+        - jnp.array([bx // 2, by // 2, bz // 2]),
+        0,
+        jnp.array([gx - bx, gy - by, gz - bz]),
+    )
+    po_box = po_grid - starts.astype(jnp.float32)
+
+    # Endpoint voxels in box coordinates.
+    vox = jnp.floor((clipped - map_origin) / cfg.resolution).astype(jnp.int32)
+    vb = vox - starts
+    in_box = jnp.all((vb >= 0) & (vb < jnp.array([bx, by, bz])), axis=-1)
+    in_grid = jnp.all((vox >= 0) & (vox < jnp.array([gx, gy, gz])), axis=-1)
+    ok = rvalid & in_box & in_grid
+    if window is not None:
+        wmin, wmax = window
+        ep_ok = ok & jnp.all((vox >= wmin) & (vox <= wmax), axis=-1)
+    else:
+        ep_ok = ok
+    lin = vb[..., 0] * (by * bz) + vb[..., 1] * bz + vb[..., 2]
+
+    hit_lin = jnp.where(ep_ok & is_hit, lin, nb)
+    epfree_lin = jnp.where(ep_ok & ~is_hit, lin, nb)
+    hit_b = jnp.zeros((nb,), jnp.uint8).at[hit_lin].max(
+        jnp.uint8(1), mode="drop").reshape(bx, by, bz)
+    epfree_b = jnp.zeros((nb,), jnp.uint8).at[epfree_lin].max(
+        jnp.uint8(1), mode="drop").reshape(bx, by, bz)
+    epfree_b = jnp.where(hit_b > 0, jnp.uint8(0), epfree_b)   # hit wins
+
+    # Seed splat: hits carry their range; clipped rays carry max_ray + res.
+    r = jnp.linalg.norm(points - origin, axis=-1)
+    seed_val = jnp.where(
+        is_hit, r, cfg.max_ray_length + cfg.resolution
+    ).astype(jnp.float32)
+    seed_lin = jnp.where(ok, lin, nb)   # seeds ignore the window (carve
+    # geometry is physical; the window only gates which counters change)
+    seeds = (
+        jnp.zeros((nb,), jnp.float32)
+        .at[seed_lin].max(seed_val, mode="drop")
+        .reshape(bx, by, bz)
+    )
+
+    free = carve_free_mask(cfg, seeds, po_box)
+    if window is not None:
+        # window mask in box coordinates
+        def axis_mask(n_, lo, hi, off):
+            c = jnp.arange(n_, dtype=jnp.int32) + off
+            return (c >= lo) & (c <= hi)
+
+        free = free & (
+            axis_mask(bx, wmin[0], wmax[0], starts[0])[:, None, None]
+            & axis_mask(by, wmin[1], wmax[1], starts[1])[None, :, None]
+            & axis_mask(bz, wmin[2], wmax[2], starts[2])[None, None, :]
+        )
+    pathfree_b = free.astype(jnp.uint8)
+
+    # Apply counts inside the box region of the full-grid counters.
+    hit32 = hit_b.astype(jnp.int32)
+    miss32 = (
+        jnp.maximum(hit32, epfree_b.astype(jnp.int32))
+        + pathfree_b.astype(jnp.int32)
+    )
+    s0, s1, s2 = starts[0], starts[1], starts[2]
+    hit_reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), (bx, by, bz))
+    hit_cnt = jax.lax.dynamic_update_slice(hit_cnt, hit_reg + hit32,
+                                           (s0, s1, s2))
+    miss_reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), (bx, by, bz))
+    miss_cnt = jax.lax.dynamic_update_slice(miss_cnt, miss_reg + miss32,
+                                            (s0, s1, s2))
+    return ScanResult(
+        hit_cnt,
+        miss_cnt,
+        jnp.sum(rvalid, dtype=jnp.int32),
+        jnp.sum(hit32) + jnp.sum(epfree_b.astype(jnp.int32)),
+    )
+
+
 def _spherical_coords(delta, az_bins: int, el_bins: int):
     """Direction vectors [...,3] -> (range, az index, el index)."""
     r = jnp.linalg.norm(delta, axis=-1)

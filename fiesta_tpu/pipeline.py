@@ -76,11 +76,11 @@ def integrate_scan(
     t = transform[:3, 3]
     points_world = points_sensor @ r.T + t          # Fiesta.h:204-205
     origin = t                                       # raycast_origin_
-    fn = (
-        raycast.integrate_scan_projective
-        if method == "projective"
-        else raycast.integrate_scan_dda
-    )
+    fn = {
+        "projective": raycast.integrate_scan_projective,
+        "scanline": raycast.integrate_scan_scanline,
+        "dda": raycast.integrate_scan_dda,
+    }[method]
     res = fn(cfg, state.hit_cnt, state.miss_cnt, points_world, valid, origin,
              window)
     new_state = dataclasses.replace(
@@ -109,10 +109,19 @@ def esdf_update(
         cfg, state.logodds, state.seen, state.hit_cnt, state.miss_cnt,
         window_mask=wmask,
     )
-    d2, closest, sweeps = esdf.update_esdf(
-        state.d2, state.closest, fr.occupied, fr.insert_mask, fr.delete_mask,
-        wmask, cfg.relax_dirs, max_iters=max_iters,
-    )
+    if cfg.esdf_mode == "rebuild":
+        from .ops.pallas.edt import trunc_vox_for, truncated_edt_d2
+
+        d2 = truncated_edt_d2(
+            fr.occupied, trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+        )
+        closest = state.closest
+        sweeps = jnp.int32(0)
+    else:
+        d2, closest, sweeps = esdf.update_esdf(
+            state.d2, state.closest, fr.occupied, fr.insert_mask,
+            fr.delete_mask, wmask, cfg.relax_dirs, max_iters=max_iters,
+        )
     new_state = MapState(
         logodds=fr.logodds,
         d2=d2,

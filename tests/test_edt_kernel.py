@@ -1,0 +1,49 @@
+"""Tests for the truncated-EDT production kernel (XLA fallback on CPU; the
+Pallas path is exercised on TPU by bench.py and shares the identical
+windowed min-plus math)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from fiesta_tpu import INF_D2
+from fiesta_tpu.ops.pallas import edt
+
+
+@pytest.mark.parametrize("seed,p", [(0, 0.01), (1, 0.05), (2, 0.002)])
+def test_truncated_edt_exact_within_radius(seed, p):
+    shape = (40, 32, 24)
+    rng = np.random.default_rng(seed)
+    occ = rng.random(shape) < p
+    t = 8
+    d2 = np.asarray(edt.truncated_edt_d2(jnp.asarray(occ), t)).astype(np.int64)
+
+    true_d = ndimage.distance_transform_edt(~occ)
+    true_d2 = np.round(true_d**2).astype(np.int64)
+
+    near = true_d2 <= t * t
+    np.testing.assert_array_equal(d2[near], true_d2[near])
+    assert np.all(d2[~near] == int(INF_D2))
+
+
+def test_truncated_edt_empty():
+    d2 = np.asarray(edt.truncated_edt_d2(jnp.zeros((16, 16, 8), bool), 6))
+    assert np.all(d2 == int(INF_D2))
+
+
+def test_truncated_edt_full():
+    d2 = np.asarray(edt.truncated_edt_d2(jnp.ones((16, 16, 8), bool), 6))
+    assert np.all(d2 == 0)
+
+
+def test_truncation_boundary():
+    shape = (64, 8, 8)
+    occ = np.zeros(shape, bool)
+    occ[0, 4, 4] = True
+    t = 10
+    d2 = np.asarray(edt.truncated_edt_d2(jnp.asarray(occ), t))
+    # exact along the axis up to t, INF beyond
+    for x in range(1, t + 1):
+        assert d2[x, 4, 4] == x * x
+    assert d2[t + 1, 4, 4] == int(INF_D2)

@@ -59,7 +59,7 @@ def _run_replay(method, kind="cloud", n_frames=10, cfg=SMALL):
     return world, pipe
 
 
-@pytest.mark.parametrize("method", ["projective", "dda"])
+@pytest.mark.parametrize("method", ["projective", "scanline", "dda"])
 def test_replay_builds_accurate_esdf(method):
     world, pipe = _run_replay(method)
     cfg = pipe.cfg

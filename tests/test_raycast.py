@@ -63,12 +63,15 @@ def _integrate(method, points, origin, cfg=CFG):
     miss = jnp.zeros(shape, jnp.int32)
     pts = jnp.asarray(points, jnp.float32)
     valid = jnp.ones(len(points), bool)
-    fn = (raycast.integrate_scan_dda if method == "dda"
-          else raycast.integrate_scan_projective)
+    fn = {
+        "dda": raycast.integrate_scan_dda,
+        "projective": raycast.integrate_scan_projective,
+        "scanline": raycast.integrate_scan_scanline,
+    }[method]
     return fn(cfg, hit, miss, pts, valid, jnp.asarray(origin, jnp.float32))
 
 
-@pytest.mark.parametrize("method", ["dda", "projective"])
+@pytest.mark.parametrize("method", ["dda", "projective", "scanline"])
 def test_single_ray_hit_and_carve(method):
     origin = np.array([0.0, 0.0, 0.0])
     point = np.array([1.55, 0.0, 0.0])
@@ -93,7 +96,7 @@ def test_single_ray_hit_and_carve(method):
     assert miss[v] == 0
 
 
-@pytest.mark.parametrize("method", ["dda", "projective"])
+@pytest.mark.parametrize("method", ["dda", "projective", "scanline"])
 def test_long_ray_clipped_free(method):
     """Rays beyond max_ray_length carve to the clip point and mark the
     clipped endpoint free, not hit (Fiesta.h:211-213)."""
@@ -124,7 +127,7 @@ def test_long_ray_clipped_free(method):
     assert miss[v] == 0
 
 
-@pytest.mark.parametrize("method", ["dda", "projective"])
+@pytest.mark.parametrize("method", ["dda", "projective", "scanline"])
 def test_short_ray_skipped(method):
     origin = np.array([0.0, 0.0, 0.0])
     res = _integrate(method, [np.array([0.1, 0.0, 0.0])], origin)
@@ -133,7 +136,7 @@ def test_short_ray_skipped(method):
     assert int(res.num_rays) == 0
 
 
-@pytest.mark.parametrize("method", ["dda", "projective"])
+@pytest.mark.parametrize("method", ["dda", "projective", "scanline"])
 def test_nan_points_ignored(method):
     origin = np.array([0.0, 0.0, 0.0])
     res = _integrate(method, [np.array([np.nan, 0.0, 0.0])], origin)
