@@ -127,6 +127,28 @@ def get_dist_grad_trilinear(
     return d, grad
 
 
+def signed_distance_grid(
+    cfg: FiestaConfig,
+    d2: jax.Array,
+    seen: jax.Array,
+    occupied: jax.Array,
+) -> jax.Array:
+    """Signed distance field [X,Y,Z]: positive outside obstacles, negative
+    inside (component C18; the reference's SIGNED_NEEDED second map is
+    incomplete — Fiesta.h:516-519 TODO — this is the clean realization).
+
+    Interior distances come from an EDT over the free space; the sign
+    convention matches the usual SDF (surface at ~0).
+    """
+    from .pallas.edt import trunc_vox_for, truncated_edt_d2
+
+    outside = distance_grid(cfg, d2, seen)
+    t = trunc_vox_for(cfg.resolution, min(cfg.trunc_dist, 2.0))
+    d2_in = truncated_edt_d2(~occupied, t)
+    inside = jnp.sqrt(d2_in.astype(jnp.float32)) * cfg.resolution
+    return jnp.where(occupied, -inside, outside)
+
+
 def get_occupancy(cfg: FiestaConfig, logodds: jax.Array, pos: jax.Array) -> jax.Array:
     """GetOccupancy(Vector3d) (ESDFMap.cpp:452-460): -10000 out of map,
     else 0/1 occupancy."""

@@ -1,0 +1,217 @@
+"""CLI app: streaming ESDF mapping + MPC demo (reference components C22/C15).
+
+The reference's app is ``test_fiesta.cpp`` — a ROS node fed by rosbag replay
+(README.md:88-96).  Without ROS, this runner replays either a synthetic
+sequence or a recorded ``.npz`` sequence through the pipeline at the
+reference's cadences (sensor 30 Hz, ESDF tick 10 Hz), prints the timing
+table, optionally dumps visualization artifacts, and can close the loop
+with the MPC planner.
+
+Usage::
+
+    python -m fiesta_tpu.run --preset cow_and_lady --frames 60 \
+        --viz-dir /tmp/viz --checkpoint /tmp/map.npz
+    python -m fiesta_tpu.run --replay scans.npz        # recorded sequence
+    python -m fiesta_tpu.run --preset demo --mpc       # with planner loop
+
+Recorded sequence format (.npz): arrays ``t [N]``, ``pos [N,3]``,
+``quat [N,4]`` (wxyz), and either ``clouds [N,P,3]`` (sensor frame) or
+``depths [N,H,W]`` (meters).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", choices=["cow_and_lady", "demo", "small"],
+                   default="small")
+    p.add_argument("--replay", help="recorded .npz sequence to replay")
+    p.add_argument("--frames", type=int, default=30,
+                   help="synthetic frames to generate (no --replay)")
+    p.add_argument("--method",
+                   choices=["scanline", "projective", "dda"],
+                   default="scanline")
+    p.add_argument("--esdf-mode", choices=["rebuild", "incremental"],
+                   default=None, help="override config esdf_mode")
+    p.add_argument("--update-every", type=int, default=3,
+                   help="ESDF tick every N frames (10 Hz at 30 Hz sensor)")
+    p.add_argument("--viz-dir", help="dump slice images + occupied cloud")
+    p.add_argument("--checkpoint", help="save the final map here")
+    p.add_argument("--resume", help="start from a checkpoint")
+    p.add_argument("--mpc", action="store_true",
+                   help="run an MPC plan against the final ESDF")
+    p.add_argument("--ground-truth-check", action="store_true",
+                   help="print the accuracy oracle report (debug C20)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                   help="force a JAX backend (the JAX_PLATFORMS env var is "
+                        "not honored when a TPU plugin is present)")
+    return p
+
+
+def _preset_cfg(name: str):
+    from . import COW_AND_LADY, DEMO_ONBOARD, FiestaConfig
+    from .io.replay import scale_intrinsics
+
+    if name == "cow_and_lady":
+        cfg, h, w = COW_AND_LADY, 192, 256
+    elif name == "demo":
+        cfg, h, w = DEMO_ONBOARD, 120, 160
+    else:
+        cfg = FiestaConfig(
+            resolution=0.1, origin=(-3.0, -3.0, -0.5),
+            map_size=(6.0, 6.0, 2.0), min_ray_length=0.3,
+        )
+        h, w = 120, 160
+    cfg = scale_intrinsics(cfg, h, w)
+    cfg = dataclasses.replace(cfg, max_points_per_scan=h * w)
+    return cfg, h, w
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .io import replay
+    from .pipeline import FiestaPipeline
+    from .timing import Timer, Timing
+
+    cfg, h, w = _preset_cfg(args.preset)
+    if args.esdf_mode:
+        cfg = dataclasses.replace(cfg, esdf_mode=args.esdf_mode)
+
+    if args.replay:
+        data = np.load(args.replay)
+        ts = data["t"]
+        frames = []
+        for i in range(len(ts)):
+            scan = (data["clouds"][i] if "clouds" in data
+                    else data["depths"][i])
+            kind = "cloud" if "clouds" in data else "depth"
+            frames.append(
+                (float(ts[i]), (data["pos"][i], data["quat"][i]), scan)
+            )
+    else:
+        print(f"generating {args.frames} synthetic frames "
+              f"({cfg.grid_shape} grid)...", file=sys.stderr)
+        _, seq = replay.make_sequence(
+            cfg, n_frames=args.frames, n_boxes=12, seed=args.seed,
+            height=h, width=w,
+        )
+        frames = seq
+        kind = "cloud"
+
+    pipe = FiestaPipeline(cfg, method=args.method)
+    if args.resume:
+        from . import checkpoint
+
+        ck_cfg, state = checkpoint.load(args.resume)
+        if ck_cfg.grid_shape != cfg.grid_shape:
+            raise SystemExit("checkpoint grid does not match preset")
+        pipe.state = state
+
+    t_start = time.perf_counter()
+    n_updates = 0
+    for i, (t, (pos, quat), scan) in enumerate(frames):
+        pipe.observe_pose(t, pos, quat)
+        if kind == "cloud":
+            pipe.observe_cloud(t, scan)
+        else:
+            pipe.observe_depth(t, scan)
+        if i + 1 < len(frames):
+            pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+        pipe.process()
+        if i % args.update_every == args.update_every - 1:
+            stats = pipe.update()
+            if stats is not None:
+                n_updates += 1
+    pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
+    pipe.process()
+    pipe.update()
+    pipe.sync_device()
+    wall = time.perf_counter() - t_start
+
+    occ = int(np.asarray(pipe.occupied()).sum())
+    print(f"processed {len(frames)} frames, {n_updates + 1} ESDF updates "
+          f"in {wall:.2f}s ({wall / len(frames) * 1e3:.1f} ms/frame); "
+          f"{occ} occupied voxels", file=sys.stderr)
+    print(Timing.print_table(), file=sys.stderr)
+
+    if args.ground_truth_check:
+        from .debug import check_with_ground_truth
+
+        rep = check_with_ground_truth(cfg, pipe.state)
+        print(json.dumps(rep, indent=1), file=sys.stderr)
+
+    if args.viz_dir:
+        import os
+
+        from . import viz
+
+        os.makedirs(args.viz_dir, exist_ok=True)
+        img = viz.slice_image(cfg, pipe.state)
+        np.savez_compressed(
+            os.path.join(args.viz_dir, "slice.npz"), rgb=img
+        )
+        pc = viz.occupied_pointcloud(cfg, pipe.state)
+        np.savez_compressed(
+            os.path.join(args.viz_dir, "occ_pc.npz"), points=pc
+        )
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.imsave(os.path.join(args.viz_dir, "slice.png"),
+                       np.clip(img.transpose(1, 0, 2), 0, 1), origin="lower")
+        except Exception:
+            pass
+        print(f"viz artifacts in {args.viz_dir}", file=sys.stderr)
+
+    if args.checkpoint:
+        from . import checkpoint
+
+        checkpoint.save(args.checkpoint, cfg, pipe.state)
+        print(f"checkpoint saved to {args.checkpoint}", file=sys.stderr)
+
+    if args.mpc:
+        import jax
+        import jax.numpy as jnp
+
+        from .planning import mpc as mpc_mod
+
+        mpc_cfg = mpc_mod.MPCConfig()
+        lo = np.asarray(cfg.origin)
+        center = lo + np.asarray(cfg.map_size) / 2
+        p0 = jnp.asarray(center + [0.0, -1.0, 0.0], jnp.float32)
+        goal = jnp.asarray(center + [0.0, 1.0, 0.0], jnp.float32)
+        with Timer("mpc_plan"):
+            res = mpc_mod.plan_step(
+                cfg, mpc_cfg, pipe.distance_grid(), p0, jnp.zeros(3), goal,
+                jnp.zeros((mpc_cfg.horizon, 3)), jax.random.PRNGKey(0),
+            )
+            jax.block_until_ready(res.controls)
+        print(f"MPC: {mpc_cfg.n_rollouts} rollouts, cost "
+              f"{float(res.cost):.2f}, plan ends at "
+              f"{np.asarray(res.positions[-1]).round(2)}", file=sys.stderr)
+        print(Timing.print_table(), file=sys.stderr)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -31,7 +31,7 @@ def occupied_pointcloud(
     Mirrors GetPointCloud (ESDFMap.cpp:564-579): iterate the (windowed) grid,
     keep occupied voxels with z-slab clipping; here a dense mask + nonzero.
     """
-    occ = np.asarray(occupied_grid(cfg, state.logodds))
+    occ = np.array(occupied_grid(cfg, state.logodds))  # writable copy
     lo = cfg.vis_lower_bound if vis_lower_bound is None else vis_lower_bound
     hi = cfg.vis_upper_bound if vis_upper_bound is None else vis_upper_bound
     # reference bounds are voxel indices relative to the grid origin

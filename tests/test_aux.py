@@ -1,0 +1,144 @@
+"""Auxiliary subsystems: checkpoint, debug validators, signed distance,
+visualization, timing registry, CLI runner."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from fiesta_tpu import FiestaConfig, make_state
+from fiesta_tpu import checkpoint, debug, viz
+from fiesta_tpu.ops import esdf
+from fiesta_tpu.ops.query import distance_grid, signed_distance_grid
+from fiesta_tpu.grid import INF_D2, UNDEFINED_COORD, occupied_grid
+from fiesta_tpu.timing import Timer, Timing
+
+CFG = FiestaConfig(
+    resolution=0.1,
+    origin=(-1.0, -1.0, -0.5),
+    map_size=(2.0, 2.0, 1.0),
+)
+
+
+def _built_state():
+    state = make_state(CFG)
+    occ = np.zeros(CFG.grid_shape, bool)
+    occ[8:12, 8:12, 4:6] = True
+    d2, closest, _ = esdf.update_esdf(
+        state.d2, state.closest, jnp.asarray(occ), jnp.asarray(occ),
+        jnp.zeros(CFG.grid_shape, bool), None, CFG.stencil,
+    )
+    lo = jnp.where(jnp.asarray(occ), 5.0, -5.0)
+    import dataclasses
+
+    return dataclasses.replace(
+        state, d2=d2, closest=closest, logodds=lo,
+        seen=jnp.ones(CFG.grid_shape, bool),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _built_state()
+    path = str(tmp_path / "map.npz")
+    checkpoint.save(path, CFG, state)
+    cfg2, state2 = checkpoint.load(path)
+    assert cfg2 == CFG
+    np.testing.assert_array_equal(np.asarray(state.d2), np.asarray(state2.d2))
+    np.testing.assert_array_equal(
+        np.asarray(state.logodds), np.asarray(state2.logodds)
+    )
+
+
+def test_check_consistency_passes_and_detects():
+    state = _built_state()
+    assert debug.check_consistency(CFG, state)
+
+    import dataclasses
+
+    bad = dataclasses.replace(
+        state, d2=state.d2.at[0, 0, 0].set(17)
+    )
+    try:
+        debug.check_consistency(CFG, bad)
+        raise RuntimeError("should have failed")
+    except AssertionError:
+        pass
+
+
+def test_ground_truth_report():
+    state = _built_state()
+    rep = debug.check_with_ground_truth(CFG, state)
+    assert rep["num_known"] > 0
+    assert rep["count_under"] == 0          # never underestimates
+    assert rep["max_error"] < 0.2           # near-optimal 24-stencil
+    assert sum(rep["histogram"]) == rep["count_over"]
+
+
+def test_signed_distance():
+    state = _built_state()
+    occ = occupied_grid(CFG, state.logodds)
+    sd = np.asarray(
+        signed_distance_grid(CFG, state.d2, state.seen, occ)
+    )
+    assert sd[9, 9, 4] < 0          # inside the box
+    assert sd[0, 0, 0] > 0          # far outside
+    # sign flips across the surface
+    assert sd[7, 9, 4] > 0 and sd[8, 9, 4] <= 0
+
+
+def test_viz_outputs():
+    state = _built_state()
+    pc = viz.occupied_pointcloud(CFG, state)
+    assert pc.shape[1] == 3 and len(pc) == 4 * 4 * 2
+
+    pos, colors = viz.slice_marker(CFG, state, slice_z=0.95)
+    assert len(pos) == len(colors) and len(pos) > 0
+    assert colors.min() >= 0 and colors.max() <= 1
+
+    img = viz.slice_image(CFG, state, slice_z=0.95)
+    assert img.shape == (20, 20, 3)
+
+
+def test_rainbow_matches_reference_formula():
+    # spot values of the HSV blend (ESDFMap.cpp:584-637)
+    # h=0: sextant 0, f flips to 1 => n=0 => pure red
+    c = viz.rainbow_color_map(np.array([0.0]))[0]
+    np.testing.assert_allclose(c, [1, 0, 0], atol=1e-9)
+    # h=0.5: sextant 3 => blue channel = v = 1
+    c = viz.rainbow_color_map(np.array([0.5]))[0]
+    assert c[2] == 1.0
+    # h=1/6: sextant 1 => green = v = 1, f flips to 0 => r = n = 1
+    c = viz.rainbow_color_map(np.array([1.0 / 6.0]))[0]
+    assert c[1] == 1.0
+
+
+def test_timing_registry():
+    Timing.reset()
+    with Timer("unit_test_tag"):
+        pass
+    with Timer("unit_test_tag"):
+        pass
+    assert Timing.get_num_samples("unit_test_tag") == 2
+    table = Timing.print_table()
+    assert "unit_test_tag" in table
+    Timing.reset()
+
+
+def test_cli_runner(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "fiesta_tpu.run", "--preset", "small",
+         "--platform", "cpu",
+         "--frames", "6", "--checkpoint", str(tmp_path / "m.npz"),
+         "--viz-dir", str(tmp_path / "viz")],
+        capture_output=True, text=True, env=env, timeout=500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "processed 6 frames" in out.stderr
+    assert (tmp_path / "m.npz").exists()
+    assert (tmp_path / "viz" / "slice.npz").exists()
