@@ -56,61 +56,68 @@ def main():
     log(f"rendered {len(frames)} frames in {time.perf_counter()-t0:.1f}s")
     pipe = FiestaPipeline(cfg, method="scanline")
 
-    # Pre-upload scans: sensor DMA is not part of the compute pipeline the
+    # Pre-upload scans grouped into update batches of 3 (30 Hz sensor,
+    # 10 Hz ESDF tick): sensor DMA is not part of the compute pipeline the
     # reference times either (its timers start after ROS message decode).
+    import jax
+    import jax.numpy as jnp
+
+    from fiesta_tpu.ops.depth import pose_to_matrix
+    from fiesta_tpu.pipeline import fused_batch_step
+
     t0 = time.perf_counter()
-    dev = [(t, pose, pipe.preload_cloud(scan)) for t, pose, scan in frames]
+    batches = []
+    for i in range(0, len(frames) - 2, 3):
+        trio = frames[i:i + 3]
+        pts, vals, tfs = [], [], []
+        for t, (pos, quat), scan in trio:
+            p, v = pipe.preload_cloud(scan)
+            pts.append(p)
+            vals.append(v)
+            tfs.append(pose_to_matrix(pos, quat))
+        batches.append((
+            jnp.stack(pts), jnp.stack(vals),
+            jnp.asarray(np.stack(tfs), jnp.float32),
+            jnp.asarray(trio[-1][1][0], jnp.float32),
+        ))
     pipe.sync_device()
-    log(f"preloaded {len(dev)} scans in {time.perf_counter()-t0:.1f}s")
+    log(f"preloaded {len(batches)} batches in {time.perf_counter()-t0:.1f}s")
 
-    def feed(i):
-        # pushing frame i+1's pose finalizes frame i in the synchronizer
-        t, (pos, quat), payload = dev[i]
-        pipe.observe_pose(t, pos, quat)
-        pipe.observe_cloud(t, payload)
-        tn = dev[i + 1][0] if i + 1 < len(dev) else t + 1.0
-        pipe.observe_pose(tn, *dev[min(i + 1, len(dev) - 1)][1])
-        return pipe.process()
+    def tick(b):
+        pts, vals, tfs, pos = b
+        pipe.state, stats = fused_batch_step(
+            cfg, pipe.state, pts, vals, tfs, pos,
+            use_window=not cfg.global_update, method="scanline",
+        )
+        return stats
 
-    # Warmup: compile + settle the map (first updates do the long
-    # initial wavefront propagation).
-    warm_frames = 12
-    for i in range(warm_frames):
+    # Warmup: compile + settle the map.
+    warm_batches = 4
+    for i in range(warm_batches):
         ti = time.perf_counter()
-        feed(i)
-        tf = time.perf_counter()
-        if i % 3 == 2:
-            stats = pipe.update()
-            pipe.sync_device()
-            log(f"warm frame {i}: feed {tf-ti:.2f}s update "
-                f"{time.perf_counter()-tf:.2f}s sweeps="
-                f"{int(stats.num_sweeps) if stats else -1}")
+        stats = tick(batches[i])
+        pipe.sync_device()
+        log(f"warm batch {i}: {time.perf_counter()-ti:.2f}s "
+            f"observed={int(stats.num_observed)} "
+            f"inserted={int(stats.num_inserted)}")
     log("warmup done; map occupied voxels: "
         f"{int(np.asarray(pipe.occupied()).sum())}")
 
-    # Measured steady-state stream: async dispatch, one sync at the end
+    # Measured steady state: async dispatch, one sync at the end
     # (amortized per-batch cost; the ~30 ms tunnel round-trip latency is a
     # harness artifact, not pipeline work).
-    all_stats = []
-    n_batches = 0
     pipe.sync_device()
+    n_batches = len(batches) - warm_batches
     t_stream = time.perf_counter()
-    i = warm_frames
-    while i + 3 < len(dev):
-        for k in range(3):
-            feed(i + k)
-        all_stats.append(pipe.update())
-        n_batches += 1
-        i += 3
+    for i in range(warm_batches, len(batches)):
+        tick(batches[i])
     pipe.sync_device()
     stream_s = time.perf_counter() - t_stream
 
     batch_ms = 1e3 * stream_s / n_batches
-    sweeps = [int(s.num_sweeps) for s in all_stats if s is not None]
-    log(f"steady stream: {n_batches} update batches (3 scans each) "
+    log(f"steady stream: {n_batches} fused update batches (3 scans each) "
         f"in {stream_s*1e3:.1f} ms -> {batch_ms:.2f} ms/batch, "
         f"{batch_ms/3:.2f} ms/frame")
-    log(f"relaxation sweeps per update: {sweeps}")
     log(Timing.print_table())
 
     baseline_ms = 100.0  # reference real-time budget per update batch

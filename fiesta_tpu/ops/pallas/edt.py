@@ -52,32 +52,49 @@ def _pick_block(n: int, target: int) -> int:
     return b
 
 
+# int16 variant: when T^2 <= _I16_INF the whole transform fits in int16 —
+# VPU processes 2x the lanes per cycle.  Values: inputs clamped to
+# _I16_INF (20000); one pass adds at most T^2 (<= 10000) => max 30000
+# < 32767, no overflow.
+_I16_INF = 20000
+_I16_T_MAX = 100  # T^2 <= 10000
+
+
 def _minplus_pass_pallas(f: jax.Array, t: int) -> jax.Array:
-    """One windowed min-plus pass along the LEADING axis of [A, M, L]."""
+    """One windowed min-plus pass along the LEADING axis of [A, M, L].
+
+    ``f`` may be int32 or int16 (int16 when t <= _I16_T_MAX; caller manages
+    the clamp between passes).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     a, m, l = f.shape
     t = min(t, a - 1)
-    fpad = jnp.pad(f, ((t, t), (0, 0), (0, 0)), constant_values=_INF_EDT)
+    dtype = f.dtype
+    inf = _I16_INF if dtype == jnp.int16 else _INF_EDT
+    fpad = jnp.pad(f, ((t, t), (0, 0), (0, 0)),
+                   constant_values=np.asarray(inf, dtype))
 
-    # Mosaic constraint: last two block dims divisible by (8, 128) or equal
-    # to the full array dims.
-    bm = _pick_block(m, 8) if m % 8 == 0 else m
+    # Mosaic constraint: last two block dims divisible by the dtype tile
+    # ((8,128) f32/i32, (16,128) i16) or equal to the full array dims.
+    sub = 16 if dtype == jnp.int16 else 8
+    bm = _pick_block(m, sub) if m % sub == 0 else m
     bl = 128 if l % 128 == 0 else l
 
     def kernel(fp_ref, out_ref):
         def body(d, acc):
-            return jnp.minimum(acc, fp_ref[pl.ds(d, a), :, :] + (d - t) ** 2)
+            cost = ((d - t) * (d - t)).astype(dtype)
+            return jnp.minimum(acc, fp_ref[pl.ds(d, a), :, :] + cost)
 
         out_ref[:, :, :] = jax.lax.fori_loop(
             0, 2 * t + 1, body,
-            jnp.full((a, bm, bl), _INF_EDT, jnp.int32),
+            jnp.full((a, bm, bl), inf, dtype),
         )
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((a, m, l), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((a, m, l), dtype),
         grid=(m // bm, l // bl),
         in_specs=[
             pl.BlockSpec(
@@ -119,14 +136,29 @@ def truncated_edt_d2(occupied: jax.Array, trunc_vox: int) -> jax.Array:
 
     Returns int32 [X,Y,Z]: exact |v - nearest obstacle|^2 (voxel units) for
     all voxels within trunc_vox of an obstacle, INF_D2 beyond.
+
+    Runs in int16 when trunc_vox <= 100 (VPU processes 2x lanes); values are
+    re-clamped to the int16 infinity between passes (the clamp only affects
+    values already beyond the truncation radius).
     """
-    f = jnp.where(occupied, 0, _INF_EDT).astype(jnp.int32)
     t = int(trunc_vox)
+    # int16 would double VPU lanes, but Mosaic on v5e cannot legalize
+    # vector arith.minsi on i16 (verified: "failed to legalize operation
+    # 'arith.minsi'" for vector<...xi16>) — keep i32 until supported.
+    use_i16 = False
+    if use_i16:
+        dtype, inf = jnp.int16, _I16_INF
+    else:
+        dtype, inf = jnp.int32, _INF_EDT
+    f = jnp.where(occupied, 0, inf).astype(dtype)
+
+    def clamp(x):
+        return jnp.minimum(x, np.asarray(inf, dtype))
 
     p1 = _minplus_pass(f, t)                                  # [X,Y,Z]
-    p2 = _minplus_pass(p1.transpose(1, 0, 2), t)              # [Y,X,Z]
-    p3 = _minplus_pass(p2.transpose(2, 1, 0), t)              # [Z,X,Y]
-    d2 = p3.transpose(1, 2, 0)
+    p2 = _minplus_pass(clamp(p1).transpose(1, 0, 2), t)       # [Y,X,Z]
+    p3 = _minplus_pass(clamp(p2).transpose(2, 1, 0), t)       # [Z,X,Y]
+    d2 = p3.transpose(1, 2, 0).astype(jnp.int32)
     return jnp.where(d2 <= t * t, d2, INF_D2)
 
 

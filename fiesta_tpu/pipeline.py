@@ -139,6 +139,51 @@ def esdf_update(
     return new_state, stats
 
 
+@partial(jax.jit, static_argnames=("cfg", "method", "use_window", "max_iters"),
+         donate_argnames=("state",))
+def fused_batch_step(
+    cfg: FiestaConfig,
+    state: MapState,
+    points: jax.Array,       # [K, P, 3] sensor-frame scans
+    valids: jax.Array,       # [K, P]
+    transforms: jax.Array,   # [K, 4, 4] sensor-to-world
+    cur_pos: jax.Array,      # [3] robot position (window center)
+    use_window: bool = False,
+    method: str = "scanline",
+    max_iters: int = 0,
+) -> Tuple[MapState, UpdateStats]:
+    """One ESDF tick fused into a single device dispatch: integrate K scans,
+    fuse the observation counters, rebuild/relax the ESDF.
+
+    This is the production step shape: scans accumulate between ticks (the
+    reference's 30 Hz callbacks vs 10 Hz timer), and each dispatch over the
+    TPU tunnel costs milliseconds, so the whole tick is one program.
+    """
+    fn = {
+        "projective": raycast.integrate_scan_projective,
+        "scanline": raycast.integrate_scan_scanline,
+        "dda": raycast.integrate_scan_dda,
+    }[method]
+    if use_window:
+        win = local_window(cfg, cur_pos)
+    else:
+        win = None
+
+    def body(carry, inp):
+        hit, miss = carry
+        pts, val, tf = inp
+        pw = pts @ tf[:3, :3].T + tf[:3, 3]
+        res = fn(cfg, hit, miss, pw, val, tf[:3, 3], win)
+        return (res.hit_cnt, res.miss_cnt), res.num_rays
+
+    (hit, miss), _ = jax.lax.scan(
+        body, (state.hit_cnt, state.miss_cnt), (points, valids, transforms)
+    )
+    state = dataclasses.replace(state, hit_cnt=hit, miss_cnt=miss)
+    return esdf_update(cfg, state, cur_pos, use_window=use_window,
+                       max_iters=max_iters)
+
+
 # ---------------------------------------------------------------------------
 # Host-side pose/depth synchronization (component C14)
 # ---------------------------------------------------------------------------
@@ -243,6 +288,11 @@ class FiestaPipeline:
 
     # -- processing --------------------------------------------------------
 
+    def _to_virtual(self, pos) -> np.ndarray:
+        """World -> map-frame hook (identity here; the scrolling pipeline
+        shifts by its rolling origin)."""
+        return np.asarray(pos, np.float64)
+
     def _build_transform(self, pos, quat) -> np.ndarray:
         t_wb = np.asarray(pose_to_matrix(pos, quat))
         return t_wb @ self.T_D_B @ self.T_B_C    # Fiesta.h:419
@@ -315,9 +365,10 @@ class FiestaPipeline:
                     np.ascontiguousarray(pts_cam, np.float32), valid
                 )
             with Timer("raycasting"):
+                vpos = self._to_virtual(pos)
                 win = None
                 if not cfg.global_update:
-                    wmin, wmax = local_window_np(cfg, pos)
+                    wmin, wmax = local_window_np(cfg, vpos)
                     win = (jnp.asarray(wmin), jnp.asarray(wmax))
                 # async dispatch: no per-frame device sync (the tunnel
                 # round-trip is ~30 ms; XLA queues keep ordering correct)
@@ -327,7 +378,7 @@ class FiestaPipeline:
                     method=self.method,
                 )
 
-            self.cur_pos = np.asarray(pos, np.float64)
+            self.cur_pos = self._to_virtual(pos)
             self.new_msg = True
             n_frames += 1
         return n_frames

@@ -1,0 +1,117 @@
+"""Scrolling-grid (unbounded world) tests — reference C3 equivalent."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from fiesta_tpu import FiestaConfig, INF_D2, make_state
+from fiesta_tpu.grid import UNDEFINED_COORD, coord_grids
+from fiesta_tpu.io import replay
+from fiesta_tpu.io.replay import scale_intrinsics
+from fiesta_tpu.ops import esdf
+from fiesta_tpu.scrolling import ScrollingFiestaPipeline, scroll_state
+
+CFG = scale_intrinsics(
+    FiestaConfig(
+        resolution=0.1,
+        origin=(-2.0, -2.0, -0.5),
+        map_size=(4.0, 4.0, 2.0),
+        min_ray_length=0.3,
+        max_ray_length=4.0,
+        max_points_per_scan=120 * 160,
+    ),
+    height=120, width=160,
+)
+
+
+def test_scroll_state_moves_content():
+    state = make_state(CFG)
+    occ = np.zeros(CFG.grid_shape, bool)
+    occ[20, 20, 10] = True
+    d2, closest, _ = esdf.update_esdf(
+        state.d2, state.closest, jnp.asarray(occ), jnp.asarray(occ),
+        jnp.zeros(CFG.grid_shape, bool), None, CFG.stencil,
+    )
+    state = dataclasses.replace(
+        state, d2=d2, closest=closest,
+        logodds=jnp.where(jnp.asarray(occ), 5.0, 0.0),
+        seen=jnp.ones(CFG.grid_shape, bool),
+    )
+
+    shifted = scroll_state(state, jnp.array([5, -3, 0], jnp.int32))
+    # obstacle moved from (20,20,10) to (15,23,10)
+    assert float(shifted.logodds[15, 23, 10]) == 5.0
+    assert int(shifted.d2[15, 23, 10]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(shifted.closest[:, 15, 23, 10]), [15, 23, 10]
+    )
+    # distances stay consistent around the moved obstacle
+    assert int(shifted.d2[17, 23, 10]) == 4
+    # entered region is unknown
+    assert not bool(shifted.seen[-1, 0, 0])
+    assert int(shifted.d2[-1, 0, 0]) == int(INF_D2)
+
+
+def test_scroll_evicts_out_of_grid_closest():
+    state = make_state(CFG)
+    occ = np.zeros(CFG.grid_shape, bool)
+    occ[2, 20, 10] = True    # near the -x face
+    d2, closest, _ = esdf.update_esdf(
+        state.d2, state.closest, jnp.asarray(occ), jnp.asarray(occ),
+        jnp.zeros(CFG.grid_shape, bool), None, CFG.stencil,
+    )
+    state = dataclasses.replace(state, d2=d2, closest=closest)
+    # shift so the obstacle leaves the grid
+    shifted = scroll_state(state, jnp.array([10, 0, 0], jnp.int32))
+    # voxels that referenced it reset to unknown distance
+    assert int(shifted.d2[0, 20, 10]) == int(INF_D2)
+    assert int(shifted.closest[0, 0, 20, 10]) == int(UNDEFINED_COORD)
+
+
+def test_scrolling_pipeline_follows_robot():
+    """Robot orbits far beyond the (small) grid; the map follows and the
+    local region around the robot stays accurate."""
+    cfg = CFG
+    # big virtual world: generate a sequence in a larger config, then feed
+    # it to a scrolling pipeline whose grid is smaller than the world
+    world_cfg = dataclasses.replace(
+        cfg, origin=(-8.0, -8.0, -0.5), map_size=(16.0, 16.0, 2.0)
+    )
+    world, frames = replay.make_sequence(
+        world_cfg, n_frames=12, n_boxes=10, seed=4,
+        height=120, width=160, orbit_radius=5.0, period=4.0,
+    )
+
+    pipe = ScrollingFiestaPipeline(cfg, recenter_fraction=0.2)
+    for i, (t, (pos, quat), scan) in enumerate(frames):
+        pipe.observe_pose(t, pos, quat)
+        pipe.observe_cloud(t, scan)
+        if i + 1 < len(frames):
+            pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+        pipe.process()
+        if i % 3 == 2:
+            pipe.update()
+    pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
+    pipe.process()
+    pipe.update()
+
+    assert pipe.scroll_count > 0, "robot left the initial grid; must scroll"
+    # the grid center tracked the robot
+    final_pos = frames[-1][1][0]
+    center = pipe.world_origin + np.asarray(cfg.map_size) / 2
+    assert np.linalg.norm((final_pos - center)[:2]) < 2.5
+
+    # mapped occupied voxels agree with the true world geometry
+    pts = pipe.occupied_world_points()
+    if len(pts):
+        from scipy import ndimage
+
+        occ_true = world.occupied_voxels(world_cfg)
+        true_dist = ndimage.distance_transform_edt(~occ_true)
+        vox = np.floor(
+            (pts - np.asarray(world_cfg.origin)) / world_cfg.resolution
+        ).astype(int)
+        inside = np.all((vox >= 0) & (vox < occ_true.shape), axis=1)
+        errs = true_dist[tuple(vox[inside].T)]
+        assert (errs <= 2.0).mean() > 0.9
