@@ -1,0 +1,77 @@
+"""MPC throughput benchmark (north-star: >=1e4 rollouts per control step).
+
+Measures plan_step latency (MPPI sampling over the ESDF + gradient
+refinement) on the real chip at the production rollout count, plus rollout
+throughput.  Run separately from bench.py (whose headline is the mapping
+metric): ``python bench_mpc.py``.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fiesta_tpu import COW_AND_LADY
+    from fiesta_tpu.ops.pallas.edt import trunc_vox_for, truncated_edt_d2
+    from fiesta_tpu.ops.query import distance_grid
+    from fiesta_tpu.planning import mpc
+
+    cfg = COW_AND_LADY
+    rng = np.random.default_rng(0)
+    occ = jnp.asarray(rng.random(cfg.grid_shape) < 0.001)
+    d2 = truncated_edt_d2(occ, trunc_vox_for(cfg.resolution, cfg.trunc_dist))
+    dist = distance_grid(cfg, d2, jnp.ones(cfg.grid_shape, bool))
+
+    mpc_cfg = mpc.MPCConfig()   # 16384 rollouts, horizon 30
+    log(f"rollouts={mpc_cfg.n_rollouts} horizon={mpc_cfg.horizon} "
+        f"refine_steps={mpc_cfg.refine_steps}")
+
+    p0 = jnp.zeros(3)
+    goal = jnp.asarray([3.0, 2.0, 0.5], jnp.float32)
+    nominal = jnp.zeros((mpc_cfg.horizon, 3))
+    key = jax.random.PRNGKey(0)
+
+    # compile
+    t0 = time.perf_counter()
+    res = mpc.plan_step(cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal, nominal, key)
+    jax.block_until_ready(res.controls)
+    log(f"compile+first: {time.perf_counter()-t0:.1f}s")
+
+    n = 20
+    keys = jax.random.split(key, n)
+    t0 = time.perf_counter()
+    for i in range(n):
+        res = mpc.plan_step(cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal,
+                            mpc.shift_nominal(res.controls), keys[i])
+    jax.block_until_ready(res.controls)
+    dt = (time.perf_counter() - t0) / n
+
+    solve_ms = dt * 1e3
+    rollouts_s = mpc_cfg.n_rollouts / dt
+    log(f"plan_step: {solve_ms:.2f} ms -> {rollouts_s/1e6:.2f} M rollouts/s, "
+        f"{1.0/dt:.1f} solves/s")
+    # Budget comparison: one solve must fit a 10 Hz control tick (100 ms)
+    print(json.dumps({
+        "metric": "mpc_plan_step_ms_16384_rollouts",
+        "value": round(solve_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(100.0 / solve_ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -181,6 +181,10 @@ class FiestaConfig:
     # Truncation radius (meters) for rebuild mode; distances beyond read as
     # infinity.  Planners consume distances well below sensor range.
     trunc_dist: float = 5.0
+    # Exact-EDT radius (meters) in rebuild mode; between edt_fine_dist and
+    # trunc_dist a half-resolution far field is used (error <= 1 coarse
+    # voxel).  Set >= trunc_dist to disable the hierarchy.
+    edt_fine_dist: float = 2.0
     # Rays are padded to this many points per scan (static shapes under jit).
     max_points_per_scan: int = 65536
     # Max DDA steps per ray; 0 => derive from max_ray_length / resolution.

@@ -282,7 +282,7 @@ def _taps_max(carry, f2, f3):
     return out
 
 
-def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3):
+def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3, slabs_per_step=4):
     """One fused pass for the +axis and -axis dominant octants.
 
     seeds_* [A, Y, Z]: seeds masked to each octant.  ``po`` = (axis, y, z)
@@ -290,33 +290,60 @@ def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3):
     the coordinate vectors of the trailing axes.  The positive octant
     processes slabs far->near from the high end while the negative octant
     simultaneously processes from the low end — one ``lax.scan`` drives
-    both wavefronts (halving sequential-step overhead).
+    both wavefronts, and each scan step advances ``slabs_per_step`` slabs
+    (a short in-step serial chain amortizes the per-step scheduling cost,
+    which dominates for thin slabs).
 
     For slab i the line of sight through (i, y, z) meets the next-farther
     slab at offsets f = (c - o) / |i - po_axis| in both directions.
     """
     a = seeds_pos.shape[0]
-    sp_rev = seeds_pos[::-1]
-    idx_pos = jnp.arange(a - 1, -1, -1, dtype=jnp.float32)
-    idx_neg = jnp.arange(0, a, dtype=jnp.float32)
+    u = slabs_per_step
+    pad = (-a) % u
+    if pad:
+        # pad at the FAR end of each processing order with non-seeding
+        # zero slabs (indices beyond the grid are harmless: their taps are
+        # masked by their own f offsets and their outputs are dropped)
+        zpad = jnp.zeros((pad,) + seeds_pos.shape[1:], seeds_pos.dtype)
+        sp_rev = jnp.concatenate([zpad, seeds_pos[::-1]])
+        sn = jnp.concatenate([zpad, seeds_neg])
+        idx_pos = jnp.arange(a - 1 + pad, -1, -1, dtype=jnp.float32)
+        idx_neg = jnp.arange(-pad, a, dtype=jnp.float32)
+    else:
+        sp_rev = seeds_pos[::-1]
+        sn = seeds_neg
+        idx_pos = jnp.arange(a - 1, -1, -1, dtype=jnp.float32)
+        idx_neg = jnp.arange(0, a, dtype=jnp.float32)
+    n_steps = (a + pad) // u
 
     o2 = c2 - po[1]
     o3 = c3 - po[2]
 
+    def reshape_steps(x):
+        return x.reshape((n_steps, u) + x.shape[1:])
+
     def step(carry, inp):
         cp, cn = carry
-        sp, sn, ip, ineg = inp
-        dp = jnp.maximum(jnp.abs(ip - po[0]), 0.5)
-        dn = jnp.maximum(jnp.abs(ineg - po[0]), 0.5)
-        new_p = jnp.maximum(sp, _taps_max(cp, o2 / dp, o3 / dp))
-        new_n = jnp.maximum(sn, _taps_max(cn, o2 / dn, o3 / dn))
-        return (new_p, new_n), (new_p, new_n)
+        sps, sns, ips, inegs = inp
+        outs_p, outs_n = [], []
+        for k in range(u):
+            dp = jnp.maximum(jnp.abs(ips[k] - po[0]), 0.5)
+            dn = jnp.maximum(jnp.abs(inegs[k] - po[0]), 0.5)
+            cp = jnp.maximum(sps[k], _taps_max(cp, o2 / dp, o3 / dp))
+            cn = jnp.maximum(sns[k], _taps_max(cn, o2 / dn, o3 / dn))
+            outs_p.append(cp)
+            outs_n.append(cn)
+        return (cp, cn), (jnp.stack(outs_p), jnp.stack(outs_n))
 
-    zero = jnp.zeros_like(seeds_pos[0])
+    zero = jnp.zeros_like(sp_rev[0])
     _, (wp_rev, wn) = jax.lax.scan(
-        step, (zero, zero), (sp_rev, seeds_neg, idx_pos, idx_neg)
+        step, (zero, zero),
+        (reshape_steps(sp_rev), reshape_steps(sn),
+         reshape_steps(idx_pos), reshape_steps(idx_neg)),
     )
-    return wp_rev[::-1], wn
+    wp_rev = wp_rev.reshape((-1,) + wp_rev.shape[2:])
+    wn = wn.reshape((-1,) + wn.shape[2:])
+    return wp_rev[pad:][::-1], wn[pad:]
 
 
 def carve_free_mask(

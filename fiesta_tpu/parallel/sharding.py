@@ -164,6 +164,62 @@ def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0)
     return jax.jit(sm)
 
 
+def sharded_truncated_edt(cfg: FiestaConfig, mesh: Mesh, trunc_vox: int):
+    """Multi-chip exact truncated EDT over an X-sharded grid.
+
+    The windowed min-plus pass along the sharded axis reads +-T neighbor
+    planes: each shard receives T boundary planes from each x-neighbor over
+    ICI (two ppermutes), then all three passes run shard-locally.  The y/z
+    passes touch only local data.  Communication volume per update is
+    2 * T * Y * Z * 4 bytes per shard boundary — independent of world size.
+
+    Returns a jitted fn: occupied [X,Y,Z] bool (sharded) -> d2 int32
+    (sharded).
+    """
+    from ..ops.pallas.edt import _INF_EDT, _minplus_pass
+    from ..grid import INF_D2 as _INF_D2
+
+    gx = cfg.grid_shape[0]
+    n = mesh.devices.size
+    assert gx % n == 0
+    t = int(trunc_vox)
+    lx = gx // n
+    assert t < lx, (
+        f"truncation radius {t} must be smaller than the local shard "
+        f"extent {lx} (one-hop halos)"
+    )
+
+    def local_fn(occupied):
+        f = jnp.where(occupied, 0, _INF_EDT).astype(jnp.int32)
+
+        # halo exchange along x: receive T planes from each neighbor
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        from_left = jax.lax.ppermute(f[-t:], "x", fwd)
+        from_right = jax.lax.ppermute(f[:t], "x", bwd)
+        idx = jax.lax.axis_index("x")
+        inf_blk = jnp.full_like(from_left, _INF_EDT)
+        from_left = jnp.where(idx == 0, inf_blk, from_left)
+        from_right = jnp.where(idx == n - 1, inf_blk, from_right)
+        fx = jnp.concatenate([from_left, f, from_right], axis=0)
+
+        # pass 1 along x on the extended block, then crop the halo
+        p1 = _minplus_pass(fx, t)[t:-t]
+        # passes 2 (y) and 3 (z) are local
+        p2 = _minplus_pass(p1.transpose(1, 0, 2), t)
+        p3 = _minplus_pass(p2.transpose(2, 1, 0), t)
+        d2 = p3.transpose(1, 2, 0)
+        return jnp.where(d2 <= t * t, d2, _INF_D2)
+
+    sm = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P("x", None, None),
+        out_specs=P("x", None, None),
+    )
+    return jax.jit(sm)
+
+
 def sharded_esdf_update(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0):
     """Full sharded incremental update: elementwise pre-passes run under
     GSPMD; the sweep loop runs under shard_map with explicit halos.

@@ -110,11 +110,22 @@ def esdf_update(
         window_mask=wmask,
     )
     if cfg.esdf_mode == "rebuild":
-        from .ops.pallas.edt import trunc_vox_for, truncated_edt_d2
-
-        d2 = truncated_edt_d2(
-            fr.occupied, trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+        from .ops.pallas.edt import (
+            hierarchical_edt_d2,
+            trunc_vox_for,
+            truncated_edt_d2,
         )
+
+        t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+        t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+        gshape = cfg.grid_shape
+        hierarchical = (
+            t_fine < t_total and all(g % 2 == 0 for g in gshape)
+        )
+        if hierarchical:
+            d2 = hierarchical_edt_d2(fr.occupied, t_fine, t_total)
+        else:
+            d2 = truncated_edt_d2(fr.occupied, t_total)
         closest = state.closest
         sweeps = jnp.int32(0)
     else:

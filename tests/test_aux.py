@@ -135,7 +135,9 @@ def test_cli_runner(tmp_path):
          "--platform", "cpu",
          "--frames", "6", "--checkpoint", str(tmp_path / "m.npz"),
          "--viz-dir", str(tmp_path / "viz")],
-        capture_output=True, text=True, env=env, timeout=500,
+        # generous timeout: the TPU plugin's init can stall for minutes when
+        # another process holds the device tunnel, even on --platform cpu
+        capture_output=True, text=True, env=env, timeout=1200,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]

@@ -37,6 +37,29 @@ def test_truncated_edt_full():
     assert np.all(d2 == 0)
 
 
+def test_hierarchical_edt_accuracy():
+    shape = (48, 40, 24)
+    rng = np.random.default_rng(5)
+    occ = rng.random(shape) < 0.01
+    t_fine, t_total = 6, 16
+    d2 = np.asarray(
+        edt.hierarchical_edt_d2(jnp.asarray(occ), t_fine, t_total)
+    ).astype(np.int64)
+    true_d = ndimage.distance_transform_edt(~occ)
+    true_d2 = np.round(true_d**2).astype(np.int64)
+
+    # exact within the fine radius
+    near = true_d2 <= t_fine * t_fine
+    np.testing.assert_array_equal(d2[near], true_d2[near])
+
+    # far band: within 1 coarse voxel (2 fine voxels) of truth
+    far = (true_d2 > t_fine * t_fine) & (true_d <= t_total - 2)
+    if far.any():
+        got = np.sqrt(d2[far].astype(np.float64))
+        err = np.abs(got - true_d[far])
+        assert err.max() <= 2.0 * np.sqrt(3) + 1e-6, err.max()
+
+
 def test_truncation_boundary():
     shape = (64, 8, 8)
     occ = np.zeros(shape, bool)

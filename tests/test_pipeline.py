@@ -83,10 +83,17 @@ def test_replay_builds_accurate_esdf(method):
     assert known.any()
     if occ_map.any():
         map_dist = ndimage.distance_transform_edt(~occ_map) * cfg.resolution
-        err = d_map[known] - map_dist[known]
-        assert err.min() > -1e-4, "ESDF must never underestimate"
-        assert np.abs(err).max() < 0.35, f"max ESDF error {np.abs(err).max()}"
-        assert (np.abs(err) > 1e-3).mean() < 0.05
+        err = d_map - map_dist
+        # exact (fine) region: never underestimates, tiny error
+        near = known & (map_dist <= cfg.edt_fine_dist - 2 * cfg.resolution)
+        assert err[near].min() > -1e-4, "near-field ESDF must never underestimate"
+        assert np.abs(err[near]).max() < 0.35
+        assert (np.abs(err[near]) > 1e-3).mean() < 0.05
+        # far (coarse) band: within one coarse voxel diagonal of truth
+        far = known & ~near
+        if far.any():
+            bound = 2 * cfg.resolution * np.sqrt(3) + 1e-6
+            assert np.abs(err[far]).max() <= bound, np.abs(err[far]).max()
 
 
 def test_replay_depth_image_mode():

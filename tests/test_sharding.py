@@ -58,6 +58,29 @@ def test_sharded_update_matches_single_device(n_dev):
     assert int(iters) >= 1
 
 
+def test_sharded_truncated_edt_matches_single():
+    cfg = FiestaConfig(
+        resolution=0.1,
+        origin=(-6.4, -1.0, -0.5),
+        map_size=(12.8, 2.0, 1.0),   # grid 128x20x10 -> 16 per shard
+    )
+    shape = cfg.grid_shape
+    occ = _random_occ(shape, 0.02, 9)
+
+    from fiesta_tpu.ops.pallas import edt
+
+    t = 8
+    want = np.asarray(edt.truncated_edt_d2(jnp.asarray(occ), t))
+
+    mesh = sharding.make_mesh(8)
+    fn = sharding.sharded_truncated_edt(cfg, mesh, t)
+    sh3 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("x", None, None)
+    )
+    got = np.asarray(fn(jax.device_put(jnp.asarray(occ), sh3)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_incremental_delete():
     shape = CFG.grid_shape
     occ_a = np.zeros(shape, bool)
