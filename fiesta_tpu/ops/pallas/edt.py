@@ -63,8 +63,10 @@ _I16_T_MAX = 100  # T^2 <= 10000
 def _minplus_pass_pallas(f: jax.Array, t: int) -> jax.Array:
     """One windowed min-plus pass along the LEADING axis of [A, M, L].
 
-    ``f`` may be int32 or int16 (int16 when t <= _I16_T_MAX; caller manages
-    the clamp between passes).
+    The trailing dims are independent columns, so they are flattened to one
+    lane axis and padded to a multiple of 128 — full VPU lane utilization
+    regardless of the grid's Z extent (Z=80 would otherwise waste 38% of
+    every vector op).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -73,40 +75,42 @@ def _minplus_pass_pallas(f: jax.Array, t: int) -> jax.Array:
     t = min(t, a - 1)
     dtype = f.dtype
     inf = _I16_INF if dtype == jnp.int16 else _INF_EDT
-    fpad = jnp.pad(f, ((t, t), (0, 0), (0, 0)),
-                   constant_values=np.asarray(inf, dtype))
 
-    # Mosaic constraint: last two block dims divisible by the dtype tile
-    # ((8,128) f32/i32, (16,128) i16) or equal to the full array dims.
-    sub = 16 if dtype == jnp.int16 else 8
-    bm = _pick_block(m, sub) if m % sub == 0 else m
-    bl = 128 if l % 128 == 0 else l
+    r = m * l
+    # 128 lanes: Mosaic rejects wider slab vector.loads (400x512 fails)
+    bl = 128
+    rpad = -r % bl
+    f2 = f.reshape(a, r)
+    fpad = jnp.pad(f2, ((t, t), (0, rpad)),
+                   constant_values=np.asarray(inf, dtype))
+    rp = r + rpad
 
     def kernel(fp_ref, out_ref):
         def body(d, acc):
             cost = ((d - t) * (d - t)).astype(dtype)
-            return jnp.minimum(acc, fp_ref[pl.ds(d, a), :, :] + cost)
+            return jnp.minimum(acc, fp_ref[pl.ds(d, a), :] + cost)
 
-        out_ref[:, :, :] = jax.lax.fori_loop(
-            0, 2 * t + 1, body,
-            jnp.full((a, bm, bl), inf, dtype),
+        out_ref[:, :] = jax.lax.fori_loop(
+            0, 2 * t + 1, body, jnp.full((a, bl), inf, dtype)
         )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((a, m, l), dtype),
-        grid=(m // bm, l // bl),
+        out_shape=jax.ShapeDtypeStruct((a, rp), dtype),
+        grid=(rp // bl,),
         in_specs=[
             pl.BlockSpec(
-                (a + 2 * t, bm, bl),
-                lambda i, j: (0, i, j),
-                memory_space=pltpu.VMEM,
+                (a + 2 * t, bl), lambda j: (0, j), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
-            (a, bm, bl), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+            (a, bl), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(fpad)
+    return out[:, :r].reshape(a, m, l)
 
 
 def _minplus_pass_xla(f: jax.Array, t: int) -> jax.Array:
