@@ -22,23 +22,29 @@ dedup that is exactly:
     hit_cnt  += hit_mask
     miss_cnt += (hit_mask | endpoint_free_mask) + path_free_mask
 
-Two integrators are provided:
+Three integrators are provided:
 
-``integrate_scan_dda``
+``integrate_scan_scanline``  (production fast path)
+    Octant shadow-casting: one packed endpoint scatter into a
+    sensor-centered box, then three fused dual-octant slab scans propagate
+    max observation range inward — static shifts + elementwise only (XLA
+    executes per-element gathers/scatters at ~9 us per thousand elements on
+    TPU, so both are avoided).  Cost is independent of map size.
+
+``integrate_scan_dda``  (parity anchor)
     Exact batched DDA: every ray advances in lock-step inside one
-    ``fori_loop`` (data-parallel over rays, sequential over steps), scattering
-    free marks per step.  Bit-faithful to the reference's voxel sets (up to
-    documented divergences for rays exiting the map).
+    ``fori_loop`` (data-parallel over rays, sequential over steps),
+    scattering free marks per step.  Bit-faithful to the reference's voxel
+    sets (up to documented divergences for rays exiting the map).
 
 ``integrate_scan_projective``
-    TPU-first redesign: all rays share one origin, so free space is exactly
-    "closer to the camera than the surface seen in that direction".  Points
-    scatter-min into a spherical depth panorama; then every voxel in the
-    update window *gathers* its pixel depth and self-classifies as free.
-    One small scatter + one dense gather instead of millions of dependent
-    scatter updates — the shape TPUs like.  It carves a (slightly denser)
-    superset of the DDA free set inside the sensor cone; hits always win the
-    occupancy vote (2*hit >= miss), so fusion semantics are preserved.
+    Depth-panorama variant (scatter into a spherical buffer + mip-footprint
+    voxel gather); superseded by scanline on TPU because of gather cost,
+    retained for comparison.
+
+All carve a free set agreeing with the DDA within ~1 voxel at silhouettes;
+hits always win the occupancy vote (2*hit >= miss), so obstacles are never
+erased by over-carving.
 """
 
 from __future__ import annotations
@@ -282,7 +288,7 @@ def _taps_max(carry, f2, f3):
     return out
 
 
-def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3, slabs_per_step=4):
+def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3, slabs_per_step=8):
     """One fused pass for the +axis and -axis dominant octants.
 
     seeds_* [A, Y, Z]: seeds masked to each octant.  ``po`` = (axis, y, z)
@@ -462,46 +468,45 @@ def integrate_scan_scanline(
     in_box = jnp.all((vb >= 0) & (vb < jnp.array([bx, by, bz])), axis=-1)
     in_grid = jnp.all((vox >= 0) & (vox < jnp.array([gx, gy, gz])), axis=-1)
     ok = rvalid & in_box & in_grid
-    if window is not None:
-        wmin, wmax = window
-        ep_ok = ok & jnp.all((vox >= wmin) & (vox <= wmax), axis=-1)
-    else:
-        ep_ok = ok
     lin = vb[..., 0] * (by * bz) + vb[..., 1] * bz + vb[..., 2]
 
-    hit_lin = jnp.where(ep_ok & is_hit, lin, nb)
-    epfree_lin = jnp.where(ep_ok & ~is_hit, lin, nb)
-    hit_b = jnp.zeros((nb,), jnp.uint8).at[hit_lin].max(
-        jnp.uint8(1), mode="drop").reshape(bx, by, bz)
-    epfree_b = jnp.zeros((nb,), jnp.uint8).at[epfree_lin].max(
-        jnp.uint8(1), mode="drop").reshape(bx, by, bz)
-    epfree_b = jnp.where(hit_b > 0, jnp.uint8(0), epfree_b)   # hit wins
-
-    # Seed splat: hits carry their range; clipped rays carry max_ray + res.
+    # ONE packed scatter carries everything (scatters cost ~9 us per 1k
+    # elements; three separate ones dominated this function):
+    #   hit endpoint     -> 2000 + ray length   (hits always win the max)
+    #   clipped endpoint -> 1000
     r = jnp.linalg.norm(points - origin, axis=-1)
-    seed_val = jnp.where(
-        is_hit, r, cfg.max_ray_length + cfg.resolution
-    ).astype(jnp.float32)
-    seed_lin = jnp.where(ok, lin, nb)   # seeds ignore the window (carve
-    # geometry is physical; the window only gates which counters change)
-    seeds = (
+    packed_val = jnp.where(is_hit, 2000.0 + r, 1000.0).astype(jnp.float32)
+    packed = (
         jnp.zeros((nb,), jnp.float32)
-        .at[seed_lin].max(seed_val, mode="drop")
+        .at[jnp.where(ok, lin, nb)].max(packed_val, mode="drop")
         .reshape(bx, by, bz)
     )
-
-    free = carve_free_mask(cfg, seeds, po_box)
+    hit_b = (packed >= 2000.0).astype(jnp.uint8)
+    epfree_b = ((packed >= 1000.0) & (packed < 2000.0)).astype(jnp.uint8)
+    seeds = jnp.where(
+        hit_b > 0, packed - 2000.0,
+        jnp.where(epfree_b > 0, cfg.max_ray_length + cfg.resolution, 0.0),
+    )
     if window is not None:
-        # window mask in box coordinates
-        def axis_mask(n_, lo, hi, off):
+        # the window gates which counters change; carve geometry (seeds)
+        # is physical and ignores it
+        wmin, wmax = window
+
+        def axis_ok(n_, lo, hi, off):
             c = jnp.arange(n_, dtype=jnp.int32) + off
             return (c >= lo) & (c <= hi)
 
-        free = free & (
-            axis_mask(bx, wmin[0], wmax[0], starts[0])[:, None, None]
-            & axis_mask(by, wmin[1], wmax[1], starts[1])[None, :, None]
-            & axis_mask(bz, wmin[2], wmax[2], starts[2])[None, None, :]
+        wmask_b = (
+            axis_ok(bx, wmin[0], wmax[0], starts[0])[:, None, None]
+            & axis_ok(by, wmin[1], wmax[1], starts[1])[None, :, None]
+            & axis_ok(bz, wmin[2], wmax[2], starts[2])[None, None, :]
         )
+        hit_b = jnp.where(wmask_b, hit_b, 0)
+        epfree_b = jnp.where(wmask_b, epfree_b, 0)
+
+    free = carve_free_mask(cfg, seeds, po_box)
+    if window is not None:
+        free = free & wmask_b
     pathfree_b = free.astype(jnp.uint8)
 
     # Apply counts inside the box region of the full-grid counters.
