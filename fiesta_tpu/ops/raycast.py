@@ -288,7 +288,7 @@ def _taps_max(carry, f2, f3):
     return out
 
 
-def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3, slabs_per_step=8):
+def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3, slabs_per_step=4):
     """One fused pass for the +axis and -axis dominant octants.
 
     seeds_* [A, Y, Z]: seeds masked to each octant.  ``po`` = (axis, y, z)

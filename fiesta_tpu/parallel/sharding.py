@@ -17,8 +17,8 @@ in its slab (mode="drop" does this naturally with local indices).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
+
+
 
 import jax
 import jax.numpy as jnp

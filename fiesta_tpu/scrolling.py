@@ -21,7 +21,7 @@ their world-frame inputs/outputs by ``origin_vox * resolution``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
