@@ -420,6 +420,179 @@ def carve_free_mask(
     )
 
 
+# --- batched wavefront scan: all scans x orientations x signs in one pass ---
+
+
+def _shift2d_b(x, dy: int, dz: int):
+    """Static shift of the trailing two axes of [..., Y, Z] with zero fill."""
+    y, z = x.shape[-2], x.shape[-1]
+    if dy:
+        blk = jnp.zeros(x.shape[:-2] + (abs(dy), z), x.dtype)
+        x = (jnp.concatenate([x[..., dy:, :], blk], -2) if dy > 0
+             else jnp.concatenate([blk, x[..., :dy, :]], -2))
+    if dz:
+        blk = jnp.zeros(x.shape[:-1] + (abs(dz),), x.dtype)
+        x = (jnp.concatenate([x[..., dz:], blk], -1) if dz > 0
+             else jnp.concatenate([blk, x[..., :dz]], -1))
+    return x
+
+
+def _taps_max_b(carry, f2, f3):
+    """Batched ``_taps_max``: carry [B, Y, Z], f2 [B, Y], f3 [B, Z]."""
+    b2 = jnp.floor(f2)
+    b3 = jnp.floor(f3)
+    t = jnp.zeros_like(carry)
+    for d in (-1, 0, 1):
+        m = ((b2 == d) | (b2 == d - 1))[:, :, None]
+        t = jnp.maximum(t, jnp.where(m, _shift2d_b(carry, d, 0), 0.0))
+    out = jnp.zeros_like(carry)
+    for d in (-1, 0, 1):
+        m = ((b3 == d) | (b3 == d - 1))[:, None, :]
+        out = jnp.maximum(out, jnp.where(m, _shift2d_b(t, 0, d), 0.0))
+    return out
+
+
+def _octant_scan_batched(seeds, flips, po_a, o2, o3, slabs_per_step=4):
+    """One fused far->near sweep over a BATCH of octant wavefronts.
+
+    The serial dimension (slabs along the dominant axis) is what costs wall
+    clock on TPU — each slab is far too small to fill the VPU, so per-step
+    scheduling dominates.  Batching every wavefront that shares a slab shape
+    (all K scans of an update batch x both signs x compatible orientations)
+    multiplies the work per step instead of the number of steps.
+
+    seeds: [B, A, C2, C3] f32 in natural axis order.
+    flips: static tuple of B bools; True = positive octant (information
+      flows from high axis indices toward the sensor, so processing order
+      is reversed).
+    po_a:  [B] f32 sensor coordinate along the scan axis, per wavefront.
+    o2:    [B, C2] f32 trailing-axis offsets (coords - sensor).
+    o3:    [B, C3] f32.
+    Returns W [B, A, C2, C3]: propagated max observation range.
+    """
+    b, a, c2, c3 = seeds.shape
+    u = slabs_per_step
+    pad = (-a) % u
+    flips_np = np.asarray(flips, bool)
+    fmask = jnp.asarray(flips_np)[:, None, None, None]
+    sp = jnp.where(fmask, seeds[:, ::-1], seeds)
+    if pad:
+        zp = jnp.zeros((b, pad, c2, c3), seeds.dtype)
+        sp = jnp.concatenate([zp, sp], axis=1)
+    # axis index of the slab each processing step touches, per wavefront
+    idx = np.where(
+        flips_np[:, None],
+        np.arange(a - 1 + pad, -1, -1, dtype=np.float32)[None, :],
+        np.arange(-pad, a, dtype=np.float32)[None, :],
+    )                                                   # [B, A+pad]
+    dp = jnp.maximum(jnp.abs(jnp.asarray(idx) - po_a[:, None]), 0.5)
+
+    n_steps = (a + pad) // u
+    slabs = sp.transpose(1, 0, 2, 3).reshape(n_steps, u, b, c2, c3)
+    dps = dp.transpose(1, 0).reshape(n_steps, u, b)
+
+    def step(carry, inp):
+        sl, d = inp                           # [u,B,C2,C3], [u,B]
+        outs = []
+        for k in range(u):
+            f2 = o2 / d[k][:, None]
+            f3 = o3 / d[k][:, None]
+            carry = jnp.maximum(sl[k], _taps_max_b(carry, f2, f3))
+            outs.append(carry)
+        return carry, jnp.stack(outs)
+
+    zero = jnp.zeros((b, c2, c3), seeds.dtype)
+    _, w = jax.lax.scan(step, zero, (slabs, dps))
+    w = w.reshape(a + pad, b, c2, c3)[pad:].transpose(1, 0, 2, 3)
+    return jnp.where(fmask, w[:, ::-1], w)
+
+
+def _sweep_pair(seeds_f, seeds_r, po_a, o2, o3):
+    """Run paired forward (negative-octant) + reverse (positive-octant)
+    wavefront sweeps: Pallas kernel on TPU (carry in VMEM — see
+    ops/pallas/carve.py), fused XLA scan elsewhere."""
+    b, a, c2, c3 = seeds_f.shape
+    if jax.default_backend() == "tpu":
+        from .pallas.carve import wavefront_sweep_pallas
+
+        return wavefront_sweep_pallas(seeds_f, seeds_r, po_a[None, :],
+                                      o2, o3)
+    w = _octant_scan_batched(
+        jnp.concatenate([seeds_f, seeds_r], 0),
+        (False,) * b + (True,) * b,
+        jnp.concatenate([po_a, po_a]),
+        jnp.concatenate([o2, o2], 0),
+        jnp.concatenate([o3, o3], 0),
+    )
+    return w[:b], w[b:]
+
+
+def carve_free_mask_batch(
+    cfg: FiestaConfig, seeds: jax.Array, po: jax.Array
+) -> jax.Array:
+    """Batched ``carve_free_mask``: K scans in two fused sweeps.
+
+    seeds [K, BX, BY, BZ] f32, po [K, 3] f32 (sensor in box index units).
+    Returns free mask [K, BX, BY, BZ] bool.  Identical carve geometry to
+    the single-scan version; only the schedule differs — the +-x and +-y
+    octants of all K scans share one batched sweep (their slab shapes
+    match whenever BX == BY, true for any cubic-footprint carve box), and
+    the +-z octants share the other.
+    """
+    k, bx, by, bz = seeds.shape
+    xs = jnp.arange(bx, dtype=jnp.float32)
+    ys = jnp.arange(by, dtype=jnp.float32)
+    zs = jnp.arange(bz, dtype=jnp.float32)
+    dx = xs[None, :, None, None] - po[:, 0, None, None, None]
+    dy = ys[None, None, :, None] - po[:, 1, None, None, None]
+    dz = zs[None, None, None, :] - po[:, 2, None, None, None]
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    octx = (adx >= ady) & (adx >= adz)
+    octy = ~octx & (ady >= adz)
+    octz = ~octx & ~octy
+
+    sx_p = jnp.where(octx & (dx > 0), seeds, 0.0)
+    sx_n = jnp.where(octx & (dx <= 0), seeds, 0.0)
+    sy = seeds.transpose(0, 2, 1, 3)
+    sy_p = jnp.where((octy & (dy > 0)).transpose(0, 2, 1, 3), sy, 0.0)
+    sy_n = jnp.where((octy & (dy <= 0)).transpose(0, 2, 1, 3), sy, 0.0)
+
+    o_yz = ys[None] - po[:, 1, None]   # [K, BY]
+    o_xz = xs[None] - po[:, 0, None]   # [K, BX]
+    o_z = zs[None] - po[:, 2, None]    # [K, BZ]
+
+    if bx == by:
+        wf, wr = _sweep_pair(
+            jnp.concatenate([sx_n, sy_n], 0),
+            jnp.concatenate([sx_p, sy_p], 0),
+            jnp.concatenate([po[:, 0], po[:, 1]]),
+            jnp.concatenate([o_yz, o_xz], 0),
+            jnp.concatenate([o_z, o_z], 0),
+        )
+        W = jnp.maximum(wf[:k], wr[:k])
+        W = jnp.maximum(
+            W, jnp.maximum(wf[k:], wr[k:]).transpose(0, 2, 1, 3)
+        )
+    else:
+        wxf, wxr = _sweep_pair(sx_n, sx_p, po[:, 0], o_yz, o_z)
+        wyf, wyr = _sweep_pair(sy_n, sy_p, po[:, 1], o_xz, o_z)
+        W = jnp.maximum(wxf, wxr)
+        W = jnp.maximum(W, jnp.maximum(wyf, wyr).transpose(0, 2, 1, 3))
+
+    sz = seeds.transpose(0, 3, 1, 2)
+    sz_p = jnp.where((octz & (dz > 0)).transpose(0, 3, 1, 2), sz, 0.0)
+    sz_n = jnp.where((octz & (dz <= 0)).transpose(0, 3, 1, 2), sz, 0.0)
+    wzf, wzr = _sweep_pair(sz_n, sz_p, po[:, 2], o_xz, o_yz)
+    W = jnp.maximum(W, jnp.maximum(wzf, wzr).transpose(0, 2, 3, 1))
+
+    rv = jnp.sqrt(dx * dx + dy * dy + dz * dz) * cfg.resolution
+    return (
+        (rv >= cfg.min_ray_length)
+        & (rv <= cfg.max_ray_length)
+        & (rv < W - cfg.resolution)
+    )
+
+
 def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:
     """Static shape of the carve box: everything a scan can touch lies
     within max_ray_length of the sensor, so integration cost is independent
@@ -429,23 +602,11 @@ def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:
     return tuple(min(g, 2 * r + 1) for g in cfg.grid_shape)
 
 
-def integrate_scan_scanline(
-    cfg: FiestaConfig,
-    hit_cnt: jax.Array,
-    miss_cnt: jax.Array,
-    points: jax.Array,
-    valid: jax.Array,
-    origin: jax.Array,
-    window: Optional[Tuple[jax.Array, jax.Array]] = None,
-) -> ScanResult:
-    """Scan integration via octant shadow-casting (TPU fast path).
+def _scanline_seeds(cfg: FiestaConfig, points, valid, origin):
+    """Endpoint scatter for one scan: box placement + packed seed splat.
 
-    Endpoint observation ranges are splatted into a sensor-centered box
-    (one small scatter), then ``carve_free_mask`` propagates them inward —
-    no per-element gathers, which XLA executes at ~9 us per thousand
-    elements on TPU (the panorama variant's bottleneck).  All dense work is
-    box-local; the full-grid counters are touched only through dynamic
-    slices.
+    Returns (starts i32[3], po_box f32[3], seeds f32[BX,BY,BZ],
+    hit_b u8, epfree_b u8, rvalid bool[R]).
     """
     gx, gy, gz = cfg.grid_shape
     bx, by, bz = _carve_box_shape(cfg)
@@ -486,6 +647,103 @@ def integrate_scan_scanline(
     seeds = jnp.where(
         hit_b > 0, packed - 2000.0,
         jnp.where(epfree_b > 0, cfg.max_ray_length + cfg.resolution, 0.0),
+    )
+    return starts, po_box, seeds, hit_b, epfree_b, rvalid
+
+
+def _box_window_mask(cfg, starts, window, box_shape):
+    """Window mask expressed in carve-box coordinates."""
+    bx, by, bz = box_shape
+    wmin, wmax = window
+
+    def axis_ok(n_, lo, hi, off):
+        c = jnp.arange(n_, dtype=jnp.int32) + off
+        return (c >= lo) & (c <= hi)
+
+    return (
+        axis_ok(bx, wmin[0], wmax[0], starts[..., 0])[..., :, None, None]
+        & axis_ok(by, wmin[1], wmax[1], starts[..., 1])[..., None, :, None]
+        & axis_ok(bz, wmin[2], wmax[2], starts[..., 2])[..., None, None, :]
+    )
+
+
+def integrate_scan_scanline_batch(
+    cfg: FiestaConfig,
+    hit_cnt: jax.Array,
+    miss_cnt: jax.Array,
+    points: jax.Array,    # [K, P, 3] world-frame
+    valid: jax.Array,     # [K, P]
+    origins: jax.Array,   # [K, 3]
+    window: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> ScanResult:
+    """K scans integrated with ONE batched carve (TPU production path).
+
+    Same observation semantics as K sequential ``integrate_scan_scanline``
+    calls (counts accumulate per scan); the carve sweeps of all K scans are
+    fused so the serial slab dimension is paid once per update batch, not
+    once per scan x orientation (see ``_octant_scan_batched``).
+    """
+    kk = points.shape[0]
+    box = _carve_box_shape(cfg)
+    bx, by, bz = box
+
+    starts, po_box, seeds, hit_b, epfree_b, rvalid = jax.vmap(
+        lambda p, v, o: _scanline_seeds(cfg, p, v, o)
+    )(points, valid, origins)
+
+    if window is not None:
+        wmask_b = jax.vmap(
+            lambda s: _box_window_mask(cfg, s, window, box)
+        )(starts)
+        hit_b = jnp.where(wmask_b, hit_b, 0)
+        epfree_b = jnp.where(wmask_b, epfree_b, 0)
+
+    free = carve_free_mask_batch(cfg, seeds, po_box)
+    if window is not None:
+        free = free & wmask_b
+
+    hit32 = hit_b.astype(jnp.int32)
+    miss32 = (
+        jnp.maximum(hit32, epfree_b.astype(jnp.int32))
+        + free.astype(jnp.int32)
+    )
+    for i in range(kk):
+        s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]
+        reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), box)
+        hit_cnt = jax.lax.dynamic_update_slice(
+            hit_cnt, reg + hit32[i], (s0, s1, s2))
+        reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), box)
+        miss_cnt = jax.lax.dynamic_update_slice(
+            miss_cnt, reg + miss32[i], (s0, s1, s2))
+    return ScanResult(
+        hit_cnt,
+        miss_cnt,
+        jnp.sum(rvalid, dtype=jnp.int32),
+        jnp.sum(hit32) + jnp.sum(epfree_b.astype(jnp.int32)),
+    )
+
+
+def integrate_scan_scanline(
+    cfg: FiestaConfig,
+    hit_cnt: jax.Array,
+    miss_cnt: jax.Array,
+    points: jax.Array,
+    valid: jax.Array,
+    origin: jax.Array,
+    window: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> ScanResult:
+    """Scan integration via octant shadow-casting (TPU fast path).
+
+    Endpoint observation ranges are splatted into a sensor-centered box
+    (one small scatter), then ``carve_free_mask`` propagates them inward —
+    no per-element gathers, which XLA executes at ~9 us per thousand
+    elements on TPU (the panorama variant's bottleneck).  All dense work is
+    box-local; the full-grid counters are touched only through dynamic
+    slices.
+    """
+    bx, by, bz = _carve_box_shape(cfg)
+    starts, po_box, seeds, hit_b, epfree_b, rvalid = _scanline_seeds(
+        cfg, points, valid, origin
     )
     if window is not None:
         # the window gates which counters change; carve geometry (seeds)

@@ -174,6 +174,18 @@ def integrate_scan_batch(
     else:
         win = None
 
+    if method == "scanline":
+        # fused carve: all K scans' wavefront sweeps share one schedule
+        pw = jnp.einsum("kpj,kij->kpi", points, transforms[:, :3, :3]) \
+            + transforms[:, None, :3, 3]
+        res = raycast.integrate_scan_scanline_batch(
+            cfg, state.hit_cnt, state.miss_cnt, pw, valids,
+            transforms[:, :3, 3], win,
+        )
+        return dataclasses.replace(
+            state, hit_cnt=res.hit_cnt, miss_cnt=res.miss_cnt
+        )
+
     def body(carry, inp):
         hit, miss = carry
         pts, val, tf = inp
