@@ -8,19 +8,20 @@ semantics it reproduces — RaycastProcess, include/Fiesta.h:194-278).
 Why a kernel: the sweep is a first-order recurrence over slabs, so XLA
 materializes every shifted/masked intermediate in HBM — ~19 HBM touches per
 voxel per slab step, making the carve bandwidth-bound at ~20 ms per update
-batch.  Here the recurrence carry lives in VMEM scratch; each grid step
-streams one seed slab in and one result slab out (the algorithmic minimum
-HBM traffic) and does the 9 fractional-tap max-selects entirely on the VPU.
+batch.  Here everything lives in VMEM: the recurrence carry, the octant
+masking of seeds (the XLA path materializes six masked f32 volumes), and
+the free test (in squared voxel units — no sqrt, no full-grid radius
+volume).  Per grid step the only HBM traffic is one raw seed slab per
+orientation in and two uint8 free-mask slabs out — the algorithmic minimum.
 
 The forward (toward -axis) and reverse (toward +axis) wavefronts of the
 same scan share each grid step: block index maps walk the forward seeds
 ascending and the reverse seeds descending, so both carries advance
-far -> near in one serial grid pass.
+far -> near in one serial grid pass; orientations with equal scan-axis
+length (x and y whenever the carve box is square) fuse into the same call.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,7 @@ def _shift_edge0(c, d: int, axis: int, size: int):
 def _taps(c, f2, f3, c2: int, c3: int):
     """Max over the 4 cells bracketing per-voxel LOS offsets.
 
-    c [B, C2, C3] carry; f2 [B, C2], f3 [B, C3] fractional offsets in
+    c [K, C2, C3] carry; f2 [K, C2], f3 [K, C3] fractional offsets in
     (-1, 1) within the octant.  Identical semantics to
     ``ops.raycast._taps_max_b``.
     """
@@ -60,72 +61,167 @@ def _taps(c, f2, f3, c2: int, c3: int):
     return out
 
 
-@partial(jax.jit, static_argnames=())
-def wavefront_sweep_pallas(seeds_f, seeds_r, po_a, o2, o3):
-    """Fused forward+reverse wavefront sweep.
+def octant_free_sweep_pallas(
+    seed_vols, po_rows, o2_rows, o3_rows, tie_rules,
+    res: float, min_ray: float, max_ray: float,
+):
+    """Fused octant sweeps producing per-octant FREE masks directly.
 
-    seeds_f/seeds_r: [B, A, C2, C3] f32 octant-masked seeds in natural axis
-      order; element b of both batches belongs to the same (scan,
-      orientation) pair.  Forward propagates from low axis indices upward
-      (negative octant: the far side is index 0); reverse the opposite.
-    po_a: [1, B] f32 sensor coordinate along the scan axis per pair.
-    o2: [B, C2] f32, o3: [B, C3] f32 — trailing-axis offsets from sensor.
-    Returns (w_f, w_r): [B, A, C2, C3] propagated max observation range.
+    seed_vols: list of [K, A, C2, C3] f32 UNMASKED seed volumes, each
+      transposed so its scan axis leads; all must share A.
+    po_rows:   list of [3, K] f32 — sensor coord along (axis, c2, c3).
+    o2_rows:   list of [K, C2] f32 (c2 coords - sensor); o3_rows same.
+    tie_rules: list of (ge2, ge3) — whether this orientation's axis wins
+      magnitude ties against trailing axis 2/3 (x: (True, True),
+      y: (False, True), z: (False, False)), matching the octant partition
+      of ``carve_free_mask_batch``.
+
+    Free test, in squared voxel units (no sqrt):
+      (min_ray/res)^2 <= r2 <= (max_ray/res)^2, W > res,
+      r2 < ((W - res)/res)^2.
+    Returns a flat list of [K, A, C2, C3] uint8: (fwd, rev) per volume.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, a, c2, c3 = seeds_f.shape
+    n = len(seed_vols)
+    shapes = [tuple(v.shape) for v in seed_vols]
+    a = shapes[0][1]
+    assert all(s[1] == a for s in shapes), "scan-axis lengths must match"
+    inv_res = np.float32(1.0 / res)
+    resf = np.float32(res)
+    min2 = np.float32((min_ray / res) ** 2)
+    max2 = np.float32((max_ray / res) ** 2)
 
-    def kernel(sf_ref, sr_ref, po_ref, o2_ref, o3_ref,
-               wf_ref, wr_ref, cf, cr):
+    # amortize per-grid-step scheduling over U slabs per step: U = largest
+    # divisor of the (possibly padded) axis length <= 16; far-end zero pad
+    # is processed first by both directions and sliced off the outputs
+    def pick_u(m):
+        u = min(m, 16)
+        while m % u:
+            u -= 1
+        return u
+
+    u = pick_u(a)
+    pad = 0
+    if u < 4:
+        pad = -a % 8
+        u = pick_u(a + pad)
+    ap = a + pad
+    if pad:
+        seed_vols = [
+            jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            for v in seed_vols
+        ]
+        shapes = [tuple(v.shape) for v in seed_vols]
+    n_steps = ap // u
+
+    def kernel(*refs):
+        # layout: per orientation i: seeds_fwd, seeds_rev (same array, two
+        # index maps), po, o2, o3 — then outputs (fwd, rev) per i — then
+        # carry scratch (fwd, rev) per i.
+        ins = refs[:5 * n]
+        outs = refs[5 * n:7 * n]
+        carries = refs[7 * n:9 * n]
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
-            cf[:] = jnp.zeros_like(cf)
-            cr[:] = jnp.zeros_like(cr)
+            for c in carries:
+                c[:] = jnp.zeros_like(c)
 
-        o2v = o2_ref[:]
-        o3v = o3_ref[:]
-        po = po_ref[0, :]                        # [B]
         gf = g.astype(jnp.float32)
-        for sref, idx, wref, carry in (
-            (sf_ref, gf, wf_ref, cf),
-            (sr_ref, jnp.float32(a - 1) - gf, wr_ref, cr),
-        ):
-            d = jnp.maximum(jnp.abs(idx - po), 0.5)   # [B]
-            f2 = o2v / d[:, None]
-            f3 = o3v / d[:, None]
-            new = jnp.maximum(
-                sref[:].reshape(b, c2, c3), _taps(carry[:], f2, f3, c2, c3)
-            )
-            carry[:] = new
-            wref[:] = new.reshape(b, 1, c2, c3)
+        for i in range(n):
+            k, _, c2, c3 = shapes[i]
+            ge2, ge3 = tie_rules[i]
+            s_fwd, s_rev, po_ref, o2_ref, o3_ref = ins[5 * i:5 * i + 5]
+            o2v = o2_ref[:]                          # [K, C2]
+            o3v = o3_ref[:]                          # [K, C3]
+            ao2 = jnp.abs(o2v)
+            ao3 = jnp.abs(o3v)
+            r2_3 = (o3v * o3v)[:, None, :]
+            po = po_ref[0:1, :]                      # [1, K] axis coord
+            for rev in (0, 1):
+                sref = s_rev if rev else s_fwd
+                oref = outs[2 * i + rev]
+                carry = carries[2 * i + rev]
+                w = carry[:]
+                block = sref[:]                      # [K, U, C2, C3]
+                # rev blocks walk descending; within a block the far
+                # slab is the highest sub-index
+                base = (jnp.float32(n_steps - 1) - gf) * u if rev \
+                    else gf * u
+                for sub in (range(u - 1, -1, -1) if rev else range(u)):
+                    idx = base + jnp.float32(sub)
+                    # Mosaic note: minor dims are only inserted on 2-D
+                    # f32 values (1-D -> 3-D reshapes and i1 inserts
+                    # don't legalize), hence the [K, 1] staging.
+                    dax = (idx - po).reshape(k, 1)   # [K, 1]
+                    adax = jnp.abs(dax)
+                    m2 = (adax >= ao2) if ge2 else (adax > ao2)  # [K,C2]
+                    m3 = (adax >= ao3) if ge3 else (adax > ao3)  # [K,C3]
+                    sgn = (dax > 0) if rev else (dax <= 0)       # [K,1]
+                    m2f = (m2 & sgn).astype(jnp.float32)[:, :, None]
+                    m3f = m3.astype(jnp.float32)[:, None, :]
+                    mask = m2f * m3f         # seeds >= 0: * == where
+                    slab = block[:, sub] * mask
+                    d = jnp.maximum(adax, 0.5)       # [K, 1]
+                    w = jnp.maximum(slab, _taps(w, o2v / d, o3v / d,
+                                                c2, c3))
+                    # dax^2 folds into the [K, C2] term: a [K,1,1] operand
+                    # would broadcast both sublanes and lanes at once,
+                    # which Mosaic cannot lower for some block shapes
+                    r2 = (dax * dax + o2v * o2v)[:, :, None] + r2_3
+                    wv = (w - resf) * inv_res
+                    free = ((w > resf) & (r2 >= min2) & (r2 <= max2)
+                            & (r2 < wv * wv))
+                    oref[:, sub] = free.astype(jnp.uint8)
+                carry[:] = w
 
-    slab = pl.BlockSpec((b, 1, c2, c3), lambda g: (0, g, 0, 0),
-                        memory_space=pltpu.VMEM)
-    slab_rev = pl.BlockSpec((b, 1, c2, c3), lambda g: (0, a - 1 - g, 0, 0),
-                            memory_space=pltpu.VMEM)
-    full2 = lambda shape: pl.BlockSpec(shape, lambda g: (0, 0),
-                                       memory_space=pltpu.VMEM)
+    in_specs = []
+    args = []
+    for i, v in enumerate(seed_vols):
+        k, _, c2, c3 = shapes[i]
+        in_specs.append(pl.BlockSpec((k, u, c2, c3), lambda g: (0, g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (k, u, c2, c3), lambda g, s_=n_steps: (0, s_ - 1 - g, 0, 0),
+            memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((3, k), lambda g: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((k, c2), lambda g: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((k, c3), lambda g: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.extend([v, v, po_rows[i], o2_rows[i], o3_rows[i]])
 
-    w_f, w_r = pl.pallas_call(
+    out_shape = []
+    out_specs = []
+    scratch = []
+    for i in range(n):
+        k, _, c2, c3 = shapes[i]
+        out_shape.append(jax.ShapeDtypeStruct((k, ap, c2, c3), jnp.uint8))
+        out_shape.append(jax.ShapeDtypeStruct((k, ap, c2, c3), jnp.uint8))
+        out_specs.append(pl.BlockSpec(
+            (k, u, c2, c3), lambda g: (0, g, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec(
+            (k, u, c2, c3), lambda g, s_=n_steps: (0, s_ - 1 - g, 0, 0),
+            memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((k, c2, c3), jnp.float32))
+        scratch.append(pltpu.VMEM((k, c2, c3), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
-        grid=(a,),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, a, c2, c3), jnp.float32),
-            jax.ShapeDtypeStruct((b, a, c2, c3), jnp.float32),
-        ),
-        in_specs=[slab, slab_rev, full2((1, b)),
-                  full2((b, c2)), full2((b, c3))],
-        out_specs=(slab, slab_rev),
-        scratch_shapes=[
-            pltpu.VMEM((b, c2, c3), jnp.float32),
-            pltpu.VMEM((b, c2, c3), jnp.float32),
-        ],
+        grid=(n_steps,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(seeds_f, seeds_r, po_a, o2, o3)
-    return w_f, w_r
+    )(*args)
+    if pad:
+        outs = [o[:, :a] for o in outs]
+    return list(outs)

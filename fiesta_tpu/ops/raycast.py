@@ -24,12 +24,15 @@ dedup that is exactly:
 
 Three integrators are provided:
 
-``integrate_scan_scanline``  (production fast path)
+``integrate_scan_scanline`` / ``integrate_scan_scanline_batch``  (production)
     Octant shadow-casting: one packed endpoint scatter into a
-    sensor-centered box, then three fused dual-octant slab scans propagate
-    max observation range inward — static shifts + elementwise only (XLA
+    sensor-centered box, then octant wavefront sweeps propagate max
+    observation range inward — static shifts + elementwise only (XLA
     executes per-element gathers/scatters at ~9 us per thousand elements on
-    TPU, so both are avoided).  Cost is independent of map size.
+    TPU, so both are avoided).  Cost is independent of map size.  On TPU
+    the sweeps are Pallas kernels (ops/pallas/carve.py) that keep the
+    recurrence carry, octant masking, and the free test in VMEM; all K
+    scans of an update batch share the sweeps.
 
 ``integrate_scan_dda``  (parity anchor)
     Exact batched DDA: every ray advances in lock-step inside one
@@ -256,168 +259,21 @@ def integrate_scan_dda(
 # ---------------------------------------------------------------------------
 
 
-def _shift2d(slab, dy: int, dz: int):
-    """Static shift of a [Y, Z] slab with zero fill."""
-    y, z = slab.shape
-    out = slab
-    if dy:
-        blk = jnp.zeros((abs(dy), z), slab.dtype)
-        out = (jnp.concatenate([out[dy:], blk], 0) if dy > 0
-               else jnp.concatenate([blk, out[:dy]], 0))
-    if dz:
-        blk = jnp.zeros((out.shape[0], abs(dz)), slab.dtype)
-        out = (jnp.concatenate([out[:, dz:], blk], 1) if dz > 0
-               else jnp.concatenate([blk, out[:, :dz]], 1))
-    return out
-
-
-def _taps_max(carry, f2, f3):
-    """Max over the 4 cells bracketing per-voxel LOS offsets (f2 [Y], f3 [Z]
-    in (-1,1)).  Separable: 3 masked y-shifts then 3 masked z-shifts."""
-    b2 = jnp.floor(f2)
-    b3 = jnp.floor(f3)
-    y, z = carry.shape
-    t = jnp.zeros_like(carry)
-    for d in (-1, 0, 1):
-        m = ((b2 == d) | (b2 == d - 1))[:, None]
-        t = jnp.maximum(t, jnp.where(m, _shift2d(carry, d, 0), 0.0))
-    out = jnp.zeros_like(carry)
-    for d in (-1, 0, 1):
-        m = ((b3 == d) | (b3 == d - 1))[None, :]
-        out = jnp.maximum(out, jnp.where(m, _shift2d(t, 0, d), 0.0))
-    return out
-
-
-def _dual_octant_scan(seeds_pos, seeds_neg, po, c2, c3, slabs_per_step=4):
-    """One fused pass for the +axis and -axis dominant octants.
-
-    seeds_* [A, Y, Z]: seeds masked to each octant.  ``po`` = (axis, y, z)
-    sensor position in this orientation's index units; c2 [Y], c3 [Z] are
-    the coordinate vectors of the trailing axes.  The positive octant
-    processes slabs far->near from the high end while the negative octant
-    simultaneously processes from the low end — one ``lax.scan`` drives
-    both wavefronts, and each scan step advances ``slabs_per_step`` slabs
-    (a short in-step serial chain amortizes the per-step scheduling cost,
-    which dominates for thin slabs).
-
-    For slab i the line of sight through (i, y, z) meets the next-farther
-    slab at offsets f = (c - o) / |i - po_axis| in both directions.
-    """
-    a = seeds_pos.shape[0]
-    u = slabs_per_step
-    pad = (-a) % u
-    if pad:
-        # pad at the FAR end of each processing order with non-seeding
-        # zero slabs (indices beyond the grid are harmless: their taps are
-        # masked by their own f offsets and their outputs are dropped)
-        zpad = jnp.zeros((pad,) + seeds_pos.shape[1:], seeds_pos.dtype)
-        sp_rev = jnp.concatenate([zpad, seeds_pos[::-1]])
-        sn = jnp.concatenate([zpad, seeds_neg])
-        idx_pos = jnp.arange(a - 1 + pad, -1, -1, dtype=jnp.float32)
-        idx_neg = jnp.arange(-pad, a, dtype=jnp.float32)
-    else:
-        sp_rev = seeds_pos[::-1]
-        sn = seeds_neg
-        idx_pos = jnp.arange(a - 1, -1, -1, dtype=jnp.float32)
-        idx_neg = jnp.arange(0, a, dtype=jnp.float32)
-    n_steps = (a + pad) // u
-
-    o2 = c2 - po[1]
-    o3 = c3 - po[2]
-
-    def reshape_steps(x):
-        return x.reshape((n_steps, u) + x.shape[1:])
-
-    def step(carry, inp):
-        cp, cn = carry
-        sps, sns, ips, inegs = inp
-        outs_p, outs_n = [], []
-        for k in range(u):
-            dp = jnp.maximum(jnp.abs(ips[k] - po[0]), 0.5)
-            dn = jnp.maximum(jnp.abs(inegs[k] - po[0]), 0.5)
-            cp = jnp.maximum(sps[k], _taps_max(cp, o2 / dp, o3 / dp))
-            cn = jnp.maximum(sns[k], _taps_max(cn, o2 / dn, o3 / dn))
-            outs_p.append(cp)
-            outs_n.append(cn)
-        return (cp, cn), (jnp.stack(outs_p), jnp.stack(outs_n))
-
-    zero = jnp.zeros_like(sp_rev[0])
-    _, (wp_rev, wn) = jax.lax.scan(
-        step, (zero, zero),
-        (reshape_steps(sp_rev), reshape_steps(sn),
-         reshape_steps(idx_pos), reshape_steps(idx_neg)),
-    )
-    wp_rev = wp_rev.reshape((-1,) + wp_rev.shape[2:])
-    wn = wn.reshape((-1,) + wn.shape[2:])
-    return wp_rev[pad:][::-1], wn[pad:]
-
-
 def carve_free_mask(
     cfg: FiestaConfig,
     seeds: jax.Array,
     po: jax.Array,
 ) -> jax.Array:
-    """Gather-free free-space carving from endpoint range seeds.
+    """Gather-free free-space carving from endpoint range seeds (one scan).
 
     ``seeds`` [BX,BY,BZ] f32: observation range splatted at endpoint voxels
     (hits: ray length; clipped rays: max_ray_length + resolution), 0
     elsewhere; ``po``: sensor position in box index units.  Returns the
     free mask: voxels with sensor distance in [min_ray, max_ray] and
     strictly closer (by one voxel) than the observed surface along their
-    direction.
-
-    Method: 3 fused dual-octant scans (dominant +-x, +-y, +-z) propagate the
-    max observation range inward (far -> near).  Occlusion is implicit — a
-    voxel behind a surface never receives W because information only flows
-    toward the sensor.  Per-voxel lines of sight use separable fractional
-    taps, so the carve matches per-ray DDA within ~1 voxel at silhouettes;
-    occupied endpoints always win the fusion vote, so obstacles are never
-    erased by over-carving.
+    direction.  Thin wrapper over the batched carve (K = 1).
     """
-    bx, by, bz = seeds.shape
-    xs = jnp.arange(bx, dtype=jnp.float32)
-    ys = jnp.arange(by, dtype=jnp.float32)
-    zs = jnp.arange(bz, dtype=jnp.float32)
-    dx = (xs - po[0])[:, None, None]
-    dy = (ys - po[1])[None, :, None]
-    dz = (zs - po[2])[None, None, :]
-    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-
-    octx = (adx >= ady) & (adx >= adz)
-    octy = ~octx & (ady >= adz)
-    octz = ~octx & ~octy
-
-    wxp, wxn = _dual_octant_scan(
-        jnp.where(octx & (dx > 0), seeds, 0.0),
-        jnp.where(octx & (dx <= 0), seeds, 0.0),
-        (po[0], po[1], po[2]), ys, zs,
-    )
-    W = jnp.maximum(wxp, wxn)
-
-    sy = seeds.transpose(1, 0, 2)
-    my_p = (octy & (dy > 0)).transpose(1, 0, 2)
-    my_n = (octy & (dy <= 0)).transpose(1, 0, 2)
-    wyp, wyn = _dual_octant_scan(
-        jnp.where(my_p, sy, 0.0), jnp.where(my_n, sy, 0.0),
-        (po[1], po[0], po[2]), xs, zs,
-    )
-    W = jnp.maximum(W, jnp.maximum(wyp, wyn).transpose(1, 0, 2))
-
-    sz = seeds.transpose(2, 0, 1)
-    mz_p = (octz & (dz > 0)).transpose(2, 0, 1)
-    mz_n = (octz & (dz <= 0)).transpose(2, 0, 1)
-    wzp, wzn = _dual_octant_scan(
-        jnp.where(mz_p, sz, 0.0), jnp.where(mz_n, sz, 0.0),
-        (po[2], po[0], po[1]), xs, ys,
-    )
-    W = jnp.maximum(W, jnp.maximum(wzp, wzn).transpose(1, 2, 0))
-
-    rv = jnp.sqrt(dx * dx + dy * dy + dz * dz) * cfg.resolution
-    return (
-        (rv >= cfg.min_ray_length)
-        & (rv <= cfg.max_ray_length)
-        & (rv < W - cfg.resolution)
-    )
+    return carve_free_mask_batch(cfg, seeds[None], po[None])[0]
 
 
 # --- batched wavefront scan: all scans x orientations x signs in one pass ---
@@ -507,16 +363,10 @@ def _octant_scan_batched(seeds, flips, po_a, o2, o3, slabs_per_step=4):
     return jnp.where(fmask, w[:, ::-1], w)
 
 
-def _sweep_pair(seeds_f, seeds_r, po_a, o2, o3):
-    """Run paired forward (negative-octant) + reverse (positive-octant)
-    wavefront sweeps: Pallas kernel on TPU (carry in VMEM — see
-    ops/pallas/carve.py), fused XLA scan elsewhere."""
-    b, a, c2, c3 = seeds_f.shape
-    if jax.default_backend() == "tpu":
-        from .pallas.carve import wavefront_sweep_pallas
-
-        return wavefront_sweep_pallas(seeds_f, seeds_r, po_a[None, :],
-                                      o2, o3)
+def _sweep_pair_xla(seeds_f, seeds_r, po_a, o2, o3):
+    """Paired forward (negative-octant) + reverse (positive-octant)
+    wavefront sweeps as one fused XLA scan (non-TPU fallback)."""
+    b = seeds_f.shape[0]
     w = _octant_scan_batched(
         jnp.concatenate([seeds_f, seeds_r], 0),
         (False,) * b + (True,) * b,
@@ -527,18 +377,77 @@ def _sweep_pair(seeds_f, seeds_r, po_a, o2, o3):
     return w[:b], w[b:]
 
 
+def _free_from_r2(cfg: FiestaConfig, r2, W):
+    """Free test in squared voxel units (matches the Pallas kernel: no
+    sqrt): sensor distance within the ray gates and strictly closer (by
+    one voxel) than the propagated observation range."""
+    res = cfg.resolution
+    wv = (W - res) * (1.0 / res)
+    return (
+        (W > res)
+        & (r2 >= (cfg.min_ray_length / res) ** 2)
+        & (r2 <= (cfg.max_ray_length / res) ** 2)
+        & (r2 < wv * wv)
+    )
+
+
+def _carve_free_tpu(cfg: FiestaConfig, seeds, po):
+    """TPU path: octant masking, propagation, and the free test all run
+    inside the sweep kernels (see ops/pallas/carve.py); HBM sees only raw
+    seed volumes in and uint8 per-octant free masks out."""
+    from .pallas.carve import octant_free_sweep_pallas
+
+    k, bx, by, bz = seeds.shape
+    xs = jnp.arange(bx, dtype=jnp.float32)
+    ys = jnp.arange(by, dtype=jnp.float32)
+    zs = jnp.arange(bz, dtype=jnp.float32)
+    o_x = xs[None] - po[:, 0, None]    # [K, BX]
+    o_y = ys[None] - po[:, 1, None]    # [K, BY]
+    o_z = zs[None] - po[:, 2, None]    # [K, BZ]
+    po_x = jnp.stack([po[:, 0], po[:, 1], po[:, 2]])   # [3, K]
+    po_y = jnp.stack([po[:, 1], po[:, 0], po[:, 2]])
+    po_z = jnp.stack([po[:, 2], po[:, 0], po[:, 1]])
+    sy = seeds.transpose(0, 2, 1, 3)
+    sz = seeds.transpose(0, 3, 1, 2)
+    kw = dict(res=cfg.resolution, min_ray=cfg.min_ray_length,
+              max_ray=cfg.max_ray_length)
+
+    # orientation tie rules define the octant partition: the dominant axis
+    # is the max-magnitude one, ties broken x > y > z
+    if bx == by:
+        fx_f, fx_r, fy_f, fy_r = octant_free_sweep_pallas(
+            [seeds, sy], [po_x, po_y], [o_y, o_x], [o_z, o_z],
+            [(True, True), (False, True)], **kw)
+    else:
+        fx_f, fx_r = octant_free_sweep_pallas(
+            [seeds], [po_x], [o_y], [o_z], [(True, True)], **kw)
+        fy_f, fy_r = octant_free_sweep_pallas(
+            [sy], [po_y], [o_x], [o_z], [(False, True)], **kw)
+    fz_f, fz_r = octant_free_sweep_pallas(
+        [sz], [po_z], [o_x], [o_y], [(False, False)], **kw)
+
+    free = (fx_f | fx_r) \
+        | (fy_f | fy_r).transpose(0, 2, 1, 3) \
+        | (fz_f | fz_r).transpose(0, 2, 3, 1)
+    return free > 0
+
+
 def carve_free_mask_batch(
     cfg: FiestaConfig, seeds: jax.Array, po: jax.Array
 ) -> jax.Array:
-    """Batched ``carve_free_mask``: K scans in two fused sweeps.
+    """Batched free-space carve: K scans in (at most) three fused sweeps.
 
     seeds [K, BX, BY, BZ] f32, po [K, 3] f32 (sensor in box index units).
-    Returns free mask [K, BX, BY, BZ] bool.  Identical carve geometry to
-    the single-scan version; only the schedule differs — the +-x and +-y
-    octants of all K scans share one batched sweep (their slab shapes
-    match whenever BX == BY, true for any cubic-footprint carve box), and
-    the +-z octants share the other.
+    Returns free mask [K, BX, BY, BZ] bool.  The +-x and +-y octants of
+    all K scans share one sweep (their slab shapes match whenever
+    BX == BY, true for any cubic-footprint carve box), the +-z octants
+    the other.  On TPU the sweeps are Pallas kernels that also evaluate
+    the free test per octant — valid because octants partition the box
+    and ``r2 < max_i(W_i) <=> OR_i (r2 < W_i)``.
     """
+    if jax.default_backend() == "tpu":
+        return _carve_free_tpu(cfg, seeds, po)
+
     k, bx, by, bz = seeds.shape
     xs = jnp.arange(bx, dtype=jnp.float32)
     ys = jnp.arange(by, dtype=jnp.float32)
@@ -562,7 +471,7 @@ def carve_free_mask_batch(
     o_z = zs[None] - po[:, 2, None]    # [K, BZ]
 
     if bx == by:
-        wf, wr = _sweep_pair(
+        wf, wr = _sweep_pair_xla(
             jnp.concatenate([sx_n, sy_n], 0),
             jnp.concatenate([sx_p, sy_p], 0),
             jnp.concatenate([po[:, 0], po[:, 1]]),
@@ -574,23 +483,19 @@ def carve_free_mask_batch(
             W, jnp.maximum(wf[k:], wr[k:]).transpose(0, 2, 1, 3)
         )
     else:
-        wxf, wxr = _sweep_pair(sx_n, sx_p, po[:, 0], o_yz, o_z)
-        wyf, wyr = _sweep_pair(sy_n, sy_p, po[:, 1], o_xz, o_z)
+        wxf, wxr = _sweep_pair_xla(sx_n, sx_p, po[:, 0], o_yz, o_z)
+        wyf, wyr = _sweep_pair_xla(sy_n, sy_p, po[:, 1], o_xz, o_z)
         W = jnp.maximum(wxf, wxr)
         W = jnp.maximum(W, jnp.maximum(wyf, wyr).transpose(0, 2, 1, 3))
 
     sz = seeds.transpose(0, 3, 1, 2)
     sz_p = jnp.where((octz & (dz > 0)).transpose(0, 3, 1, 2), sz, 0.0)
     sz_n = jnp.where((octz & (dz <= 0)).transpose(0, 3, 1, 2), sz, 0.0)
-    wzf, wzr = _sweep_pair(sz_n, sz_p, po[:, 2], o_xz, o_yz)
+    wzf, wzr = _sweep_pair_xla(sz_n, sz_p, po[:, 2], o_xz, o_yz)
     W = jnp.maximum(W, jnp.maximum(wzf, wzr).transpose(0, 2, 3, 1))
 
-    rv = jnp.sqrt(dx * dx + dy * dy + dz * dz) * cfg.resolution
-    return (
-        (rv >= cfg.min_ray_length)
-        & (rv <= cfg.max_ray_length)
-        & (rv < W - cfg.resolution)
-    )
+    r2 = dx * dx + dy * dy + dz * dz
+    return _free_from_r2(cfg, r2, W)
 
 
 def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:

@@ -160,6 +160,7 @@ def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0)
         in_specs=(P("x", None, None), P(None, "x", None, None),
                   P("x", None, None), P("x", None, None)),
         out_specs=(P("x", None, None), P(None, "x", None, None), P()),
+        check_vma=False,  # pallas_call inside shard_map has no vma info
     )
     return jax.jit(sm)
 
@@ -216,6 +217,7 @@ def sharded_truncated_edt(cfg: FiestaConfig, mesh: Mesh, trunc_vox: int):
         mesh=mesh,
         in_specs=P("x", None, None),
         out_specs=P("x", None, None),
+        check_vma=False,  # pallas_call inside shard_map has no vma info
     )
     return jax.jit(sm)
 

@@ -199,6 +199,9 @@ def integrate_scan_batch(
     return dataclasses.replace(state, hit_cnt=hit, miss_cnt=miss)
 
 
+@partial(jax.jit, static_argnames=("cfg", "method", "use_window",
+                                   "max_iters"),
+         donate_argnames=("state",))
 def fused_batch_step(
     cfg: FiestaConfig,
     state: MapState,
@@ -210,16 +213,16 @@ def fused_batch_step(
     method: str = "scanline",
     max_iters: int = 0,
 ) -> Tuple[MapState, UpdateStats]:
-    """One ESDF tick as two async dispatches: batched scan integration,
-    then fusion + ESDF maintenance.  (Kept as two programs: fusing
-    everything into one graph saved <2 ms of dispatch latency but
-    multiplied XLA compile time several-fold.)"""
-    state = integrate_scan_batch(
+    """One ESDF tick — batched scan integration, occupancy fusion, and
+    ESDF maintenance — as a SINGLE device program (each extra dispatch
+    costs ~1.5 ms of non-overlapped tunnel latency)."""
+    state = integrate_scan_batch.__wrapped__(
         cfg, state, points, valids, transforms, cur_pos,
         use_window=use_window, method=method,
     )
-    return esdf_update(cfg, state, cur_pos, use_window=use_window,
-                       max_iters=max_iters)
+    return esdf_update.__wrapped__(cfg, state, cur_pos,
+                                   use_window=use_window,
+                                   max_iters=max_iters)
 
 
 # ---------------------------------------------------------------------------
