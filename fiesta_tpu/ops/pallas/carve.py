@@ -63,7 +63,7 @@ def _taps(c, f2, f3, c2: int, c3: int):
 
 def octant_free_sweep_pallas(
     seed_vols, po_rows, o2_rows, o3_rows, tie_rules,
-    res: float, min_ray: float, max_ray: float,
+    res: float, min_ray: float, max_ray: float, interpret: bool = False,
 ):
     """Fused octant sweeps producing per-octant FREE masks directly.
 
@@ -221,6 +221,7 @@ def octant_free_sweep_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(*args)
     if pad:
         outs = [o[:, :a] for o in outs]

@@ -60,7 +60,8 @@ _I16_INF = 20000
 _I16_T_MAX = 100  # T^2 <= 10000
 
 
-def _minplus_pass_pallas(f: jax.Array, t: int) -> jax.Array:
+def _minplus_pass_pallas(f: jax.Array, t: int,
+                         interpret: bool = False) -> jax.Array:
     """One windowed min-plus pass along the LEADING axis of [A, M, L].
 
     The trailing dims are independent columns, so they are flattened to one
@@ -113,11 +114,13 @@ def _minplus_pass_pallas(f: jax.Array, t: int) -> jax.Array:
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(fpad)
     return out[:, :r].reshape(a, m, l)
 
 
-def _binary_pass_pallas(f: jax.Array, t: int) -> jax.Array:
+def _binary_pass_pallas(f: jax.Array, t: int,
+                        interpret: bool = False) -> jax.Array:
     """First min-plus pass specialized to BINARY input (0 / INF).
 
     For binary seeds the parabola pass equals (L1 distance to the nearest
@@ -175,6 +178,7 @@ def _binary_pass_pallas(f: jax.Array, t: int) -> jax.Array:
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(f2)
     return out[:, :r].reshape(a, m, l)
 

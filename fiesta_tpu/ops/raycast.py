@@ -391,7 +391,7 @@ def _free_from_r2(cfg: FiestaConfig, r2, W):
     )
 
 
-def _carve_free_tpu(cfg: FiestaConfig, seeds, po):
+def _carve_free_tpu(cfg: FiestaConfig, seeds, po, interpret: bool = False):
     """TPU path: octant masking, propagation, and the free test all run
     inside the sweep kernels (see ops/pallas/carve.py); HBM sees only raw
     seed volumes in and uint8 per-octant free masks out."""
@@ -410,7 +410,7 @@ def _carve_free_tpu(cfg: FiestaConfig, seeds, po):
     sy = seeds.transpose(0, 2, 1, 3)
     sz = seeds.transpose(0, 3, 1, 2)
     kw = dict(res=cfg.resolution, min_ray=cfg.min_ray_length,
-              max_ray=cfg.max_ray_length)
+              max_ray=cfg.max_ray_length, interpret=interpret)
 
     # orientation tie rules define the octant partition: the dominant axis
     # is the max-magnitude one, ties broken x > y > z

@@ -1,0 +1,80 @@
+"""Pallas kernel semantics, guarded on CPU via interpret mode.
+
+The TPU production path runs custom kernels (ops/pallas/carve.py,
+ops/pallas/edt.py) that CI cannot compile without a chip; interpret mode
+executes the same kernel programs on the host, so their semantics stay
+pinned against the pure-XLA fallbacks (which the rest of the test suite
+validates against the reference oracles)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fiesta_tpu.config import FiestaConfig
+from fiesta_tpu.grid import INF_D2
+from fiesta_tpu.ops import raycast as rc
+from fiesta_tpu.ops.pallas.edt import (
+    _INF_EDT,
+    _binary_pass_pallas,
+    _minplus_pass_pallas,
+    _minplus_pass_xla,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return FiestaConfig(
+        resolution=0.2,
+        map_size=(12.0, 12.0, 4.8),
+        origin=(-6.0, -6.0, -2.4),
+        min_ray_length=0.3,
+        max_ray_length=3.0,
+    )
+
+
+def test_carve_kernel_matches_xla_fallback(cfg):
+    rng = np.random.default_rng(3)
+    k, p = 2, 400
+    origins = rng.uniform(-2, 2, (k, 3)).astype(np.float32)
+    origins[:, 2] *= 0.4
+    pts = (origins[:, None, :]
+           + rng.uniform(-4, 4, (k, p, 3))).astype(np.float32)
+    val = rng.uniform(size=(k, p)) < 0.9
+    seeds_fn = jax.vmap(lambda pp, v, o: rc._scanline_seeds(cfg, pp, v, o))
+    _, po_box, seeds, _, _, _ = seeds_fn(
+        jnp.asarray(pts), jnp.asarray(val), jnp.asarray(origins))
+
+    free_kernel = np.asarray(
+        rc._carve_free_tpu(cfg, seeds, po_box, interpret=True))
+    free_xla = np.asarray(rc.carve_free_mask_batch(cfg, seeds, po_box))
+    assert np.array_equal(free_kernel, free_xla)
+    assert free_xla.any()  # non-degenerate scene
+
+
+def test_minplus_pass_kernel_matches_xla():
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(
+        np.where(rng.uniform(size=(48, 20, 12)) < 0.02, 0, _INF_EDT),
+        jnp.int32,
+    )
+    for t in (5, 17):
+        ref = _minplus_pass_xla(f, t)
+        got = _minplus_pass_pallas(f, t, interpret=True)
+        assert jnp.array_equal(ref, got)
+
+
+def test_binary_pass_kernel_matches_xla():
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(
+        np.where(rng.uniform(size=(48, 20, 12)) < 0.02, 0, _INF_EDT),
+        jnp.int32,
+    )
+    for t in (5, 17, 47):
+        ref = jnp.minimum(_minplus_pass_xla(f, t), _INF_EDT)
+        got = _binary_pass_pallas(f, t, interpret=True)
+        # binary pass truncates at t (reads as _INF_EDT beyond); the
+        # generic pass reports true values up to (a-1)^2
+        mask = ref <= t * t
+        assert jnp.array_equal(ref[mask], got[mask])
+        assert bool(jnp.all(got[~mask] == _INF_EDT))
