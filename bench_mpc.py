@@ -45,19 +45,26 @@ def main():
     nominal = jnp.zeros((mpc_cfg.horizon, 3))
     key = jax.random.PRNGKey(0)
 
-    # compile
+    # One control tick = ONE device program: receding-horizon warm-start
+    # shift + MPPI + refinement.  (An eager shift_nominal between jitted
+    # calls costs ~100 ms of tunnel round-trips and would swamp the solve.)
+    @jax.jit
+    def tick(prev_controls, k):
+        return mpc.plan_step(cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal,
+                             mpc.shift_nominal(prev_controls), k)
+
     t0 = time.perf_counter()
-    res = mpc.plan_step(cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal, nominal, key)
+    res = tick(nominal, key)
     jax.block_until_ready(res.controls)
     log(f"compile+first: {time.perf_counter()-t0:.1f}s")
 
     n = 20
-    keys = jax.random.split(key, n)
+    keys = list(jax.random.split(key, n))   # pre-slice: keys[i] in the
+    jax.block_until_ready(keys)             # loop would be an eager op
     t0 = time.perf_counter()
-    for i in range(n):
-        res = mpc.plan_step(cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal,
-                            mpc.shift_nominal(res.controls), keys[i])
-    jax.block_until_ready(res.controls)
+    for k in keys:
+        res = tick(res.controls, k)
+    float(res.cost)   # host readback forces the stream to drain
     dt = (time.perf_counter() - t0) / n
 
     solve_ms = dt * 1e3
