@@ -203,6 +203,17 @@ def _minplus_pass(f: jax.Array, t: int) -> jax.Array:
     return _minplus_pass_xla(f, t)
 
 
+def binary_pass(f: jax.Array, t: int) -> jax.Array:
+    """First pass specialized to binary (0 / INF) input: (L1 dist)^2,
+    reading _INF_EDT beyond ``t``.  O(log t) on TPU; the XLA fallback's
+    windowed pass gives identical values (beyond-t entries exceed t^2 and
+    are clamped to the same infinity)."""
+    if jax.default_backend() == "tpu":
+        return _binary_pass_pallas(f, t)
+    p = _minplus_pass_xla(f, t)
+    return jnp.where(p > t * t, _INF_EDT, p)
+
+
 @partial(jax.jit, static_argnames=("trunc_vox",))
 def truncated_edt_d2(occupied: jax.Array, trunc_vox: int) -> jax.Array:
     """Exact squared EDT of ``occupied`` [X,Y,Z], truncated at ``trunc_vox``.
@@ -228,10 +239,7 @@ def truncated_edt_d2(occupied: jax.Array, trunc_vox: int) -> jax.Array:
     def clamp(x):
         return jnp.minimum(x, np.asarray(inf, dtype))
 
-    if jax.default_backend() == "tpu":
-        p1 = _binary_pass_pallas(f, t)                        # [X,Y,Z]
-    else:
-        p1 = _minplus_pass(f, t)
+    p1 = binary_pass(f, t)                                    # [X,Y,Z]
     p2 = _minplus_pass(clamp(p1).transpose(1, 0, 2), t)       # [Y,X,Z]
     p3 = _minplus_pass(clamp(p2).transpose(2, 1, 0), t)       # [Z,X,Y]
     d2 = p3.transpose(1, 2, 0).astype(jnp.int32)

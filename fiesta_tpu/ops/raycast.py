@@ -590,7 +590,34 @@ def integrate_scan_scanline_batch(
     """
     kk = points.shape[0]
     box = _carve_box_shape(cfg)
-    bx, by, bz = box
+    starts, hit32, miss32, n_rays, n_endpoints = scanline_batch_boxes(
+        cfg, points, valid, origins, window
+    )
+    for i in range(kk):
+        s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]
+        reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), box)
+        hit_cnt = jax.lax.dynamic_update_slice(
+            hit_cnt, reg + hit32[i], (s0, s1, s2))
+        reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), box)
+        miss_cnt = jax.lax.dynamic_update_slice(
+            miss_cnt, reg + miss32[i], (s0, s1, s2))
+    return ScanResult(hit_cnt, miss_cnt, n_rays, n_endpoints)
+
+
+def scanline_batch_boxes(
+    cfg: FiestaConfig,
+    points: jax.Array,    # [K, P, 3] world-frame
+    valid: jax.Array,     # [K, P]
+    origins: jax.Array,   # [K, 3]
+    window: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """Box-local observation contributions of K scans (carve included).
+
+    Returns (starts [K,3] i32, hit32 [K,BX,BY,BZ] i32, miss32 same,
+    n_rays, n_endpoints).  Factored out of the full-grid integrator so the
+    sharded pipeline can apply the same contributions to grid slabs.
+    """
+    box = _carve_box_shape(cfg)
 
     starts, po_box, seeds, hit_b, epfree_b, rvalid = jax.vmap(
         lambda p, v, o: _scanline_seeds(cfg, p, v, o)
@@ -612,17 +639,8 @@ def integrate_scan_scanline_batch(
         jnp.maximum(hit32, epfree_b.astype(jnp.int32))
         + free.astype(jnp.int32)
     )
-    for i in range(kk):
-        s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]
-        reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), box)
-        hit_cnt = jax.lax.dynamic_update_slice(
-            hit_cnt, reg + hit32[i], (s0, s1, s2))
-        reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), box)
-        miss_cnt = jax.lax.dynamic_update_slice(
-            miss_cnt, reg + miss32[i], (s0, s1, s2))
-    return ScanResult(
-        hit_cnt,
-        miss_cnt,
+    return (
+        starts, hit32, miss32,
         jnp.sum(rvalid, dtype=jnp.int32),
         jnp.sum(hit32) + jnp.sum(epfree_b.astype(jnp.int32)),
     )

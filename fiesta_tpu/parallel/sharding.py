@@ -165,61 +165,182 @@ def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0)
     return jax.jit(sm)
 
 
+def _halo_planes_x(f: jax.Array, t: int, n: int, axis: str, fill):
+    """Extend a local x-slab [Lx, Y, Z] with ``t`` planes from each side.
+
+    Multi-hop: when t exceeds the slab extent Lx, whole intermediate slabs
+    are relayed (hop k fetches from the neighbor k steps away), so the
+    truncation radius is NOT limited by the per-device extent.  Boundary
+    shards see ``fill``.  Total traffic: t planes per side regardless of
+    hop count.
+    """
+    if n == 1:
+        pad = jnp.full((t,) + f.shape[1:], fill, f.dtype)
+        return jnp.concatenate([pad, f, pad], axis=0)
+    lx = f.shape[0]
+    idx = jax.lax.axis_index(axis)
+    hops = -(-t // lx)
+    left_parts, right_parts = [], []
+    for k in range(1, hops + 1):
+        take = min(lx, t - (k - 1) * lx)
+        fwd = [(i, (i + k) % n) for i in range(n)]
+        bwd = [(i, (i - k) % n) for i in range(n)]
+        blk_l = jax.lax.ppermute(f[lx - take:], axis, fwd)
+        blk_r = jax.lax.ppermute(f[:take], axis, bwd)
+        filler = jnp.full_like(blk_l, fill)
+        blk_l = jnp.where(idx < k, filler, blk_l)
+        blk_r = jnp.where(idx >= n - k, filler, blk_r)
+        left_parts.insert(0, blk_l)    # farthest hop first
+        right_parts.append(blk_r)
+    return jnp.concatenate(left_parts + [f] + right_parts, axis=0)
+
+
 def sharded_truncated_edt(cfg: FiestaConfig, mesh: Mesh, trunc_vox: int):
     """Multi-chip exact truncated EDT over an X-sharded grid.
 
     The windowed min-plus pass along the sharded axis reads +-T neighbor
-    planes: each shard receives T boundary planes from each x-neighbor over
-    ICI (two ppermutes), then all three passes run shard-locally.  The y/z
-    passes touch only local data.  Communication volume per update is
-    2 * T * Y * Z * 4 bytes per shard boundary — independent of world size.
+    planes: each shard receives T boundary planes over ICI (multi-hop
+    ``ppermute`` relays when T exceeds the slab extent), then all three
+    passes run shard-locally.  The y/z passes touch only local data.
+    Communication volume per update is 2 * T * Y * Z * 4 bytes per shard
+    boundary — independent of world size.
 
     Returns a jitted fn: occupied [X,Y,Z] bool (sharded) -> d2 int32
     (sharded).
     """
-    from ..ops.pallas.edt import _INF_EDT, _minplus_pass
-    from ..grid import INF_D2 as _INF_D2
-
-    gx = cfg.grid_shape[0]
     n = mesh.devices.size
-    assert gx % n == 0
-    t = int(trunc_vox)
-    lx = gx // n
-    assert t < lx, (
-        f"truncation radius {t} must be smaller than the local shard "
-        f"extent {lx} (one-hop halos)"
-    )
-
-    def local_fn(occupied):
-        f = jnp.where(occupied, 0, _INF_EDT).astype(jnp.int32)
-
-        # halo exchange along x: receive T planes from each neighbor
-        fwd = [(i, (i + 1) % n) for i in range(n)]
-        bwd = [(i, (i - 1) % n) for i in range(n)]
-        from_left = jax.lax.ppermute(f[-t:], "x", fwd)
-        from_right = jax.lax.ppermute(f[:t], "x", bwd)
-        idx = jax.lax.axis_index("x")
-        inf_blk = jnp.full_like(from_left, _INF_EDT)
-        from_left = jnp.where(idx == 0, inf_blk, from_left)
-        from_right = jnp.where(idx == n - 1, inf_blk, from_right)
-        fx = jnp.concatenate([from_left, f, from_right], axis=0)
-
-        # pass 1 along x on the extended block, then crop the halo
-        p1 = _minplus_pass(fx, t)[t:-t]
-        # passes 2 (y) and 3 (z) are local
-        p2 = _minplus_pass(p1.transpose(1, 0, 2), t)
-        p3 = _minplus_pass(p2.transpose(2, 1, 0), t)
-        d2 = p3.transpose(1, 2, 0)
-        return jnp.where(d2 <= t * t, d2, _INF_D2)
-
+    local = _local_truncated_edt(cfg, n, trunc_vox)
     sm = jax.shard_map(
-        local_fn,
+        local,
         mesh=mesh,
         in_specs=P("x", None, None),
         out_specs=P("x", None, None),
         check_vma=False,  # pallas_call inside shard_map has no vma info
     )
     return jax.jit(sm)
+
+
+def _local_truncated_edt(cfg: FiestaConfig, n: int, trunc_vox: int):
+    """Shard-local body of the sharded truncated EDT (see above)."""
+    from ..ops.pallas.edt import _INF_EDT, _minplus_pass, binary_pass
+    from ..grid import INF_D2 as _INF_D2
+
+    gx = cfg.grid_shape[0]
+    assert gx % n == 0
+    t = int(trunc_vox)
+
+    def local_fn(occupied):
+        f = jnp.where(occupied, 0, _INF_EDT).astype(jnp.int32)
+        fx = _halo_planes_x(f, t, n, "x", _INF_EDT)
+        # pass 1 along x on the extended block (binary input -> O(log t)
+        # doubling), then crop the halo
+        p1 = binary_pass(fx, t)[t:-t]
+        # passes 2 (y) and 3 (z) are local
+        p2 = _minplus_pass(p1.transpose(1, 0, 2), t)
+        p3 = _minplus_pass(p2.transpose(2, 1, 0), t)
+        d2 = p3.transpose(1, 2, 0)
+        return jnp.where(d2 <= t * t, d2, _INF_D2)
+
+    return local_fn
+
+
+def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
+    """Full production mapping tick over an X-sharded grid: batched scan
+    carve + occupancy fusion + truncated-EDT rebuild in ONE device program.
+
+    Layout (SURVEY.md section 5 "distributed communication backend"):
+      * grid arrays are X-slab sharded; scans are replicated;
+      * the carve-box contributions are computed redundantly on every
+        device (the box is sensor-local and small — a few ms of work —
+        and replicating it avoids any carve-time communication); each
+        device applies only the part intersecting its slab;
+      * fusion is elementwise-local;
+      * the EDT rebuild along x uses multi-hop ``ppermute`` halos of T
+        planes per side (ICI traffic independent of world size);
+      * the only global reductions are the three scalar stats ``psum``s.
+
+    Uses the single-level truncated EDT at ``cfg.trunc_dist`` (matches the
+    single-device path whenever ``edt_fine_dist >= trunc_dist``).
+    Returns a jitted fn (state, points [K,P,3] sensor-frame, valids,
+    transforms [K,4,4], cur_pos) -> (state, UpdateStats).
+    """
+    import math
+
+    from ..ops import fusion, raycast
+    from ..pipeline import UpdateStats
+
+    n = mesh.devices.size
+    gx = cfg.grid_shape[0]
+    assert gx % n == 0, f"grid X={gx} must divide by mesh size {n}"
+    lx = gx // n
+    t = int(math.ceil(cfg.trunc_dist / cfg.resolution))
+    edt_local = _local_truncated_edt(cfg, n, t)
+    bx, by, bz = raycast._carve_box_shape(cfg)
+
+    def apply_box_local(cnt_local, box32, start, x0):
+        """Add a carve-box contribution to the slab it intersects.
+
+        The x start is clamped into [-BX, Lx] and the slab padded by BX on
+        both sides, so non-overlapping boxes land entirely in the discarded
+        pad (clamping cannot create a false overlap: any true overlap has
+        start in the clamp range already)."""
+        ls = jnp.clip(start[0] - x0, -bx, lx)
+        padded = jnp.pad(cnt_local, ((bx, bx), (0, 0), (0, 0)))
+        at = (ls + bx, start[1], start[2])
+        reg = jax.lax.dynamic_slice(padded, at, (bx, by, bz))
+        padded = jax.lax.dynamic_update_slice(padded, reg + box32, at)
+        return padded[bx:bx + lx]
+
+    def local_fn(logodds, seen, hit_cnt, miss_cnt, d2, closest,
+                 points, valids, transforms):
+        x0 = jax.lax.axis_index("x").astype(jnp.int32) * lx
+
+        # replicated carve (box-local work), slab-local application
+        pw = jnp.einsum("kpj,kij->kpi", points, transforms[:, :3, :3]) \
+            + transforms[:, None, :3, 3]
+        starts, hit32, miss32, n_rays, n_ep = raycast.scanline_batch_boxes(
+            cfg, pw, valids, transforms[:, :3, 3], None
+        )
+        for i in range(points.shape[0]):
+            hit_cnt = apply_box_local(hit_cnt, hit32[i], starts[i], x0)
+            miss_cnt = apply_box_local(miss_cnt, miss32[i], starts[i], x0)
+
+        fr = fusion.fuse_counts(cfg, logodds, seen, hit_cnt, miss_cnt)
+        d2 = edt_local(fr.occupied)
+
+        stats = UpdateStats(
+            num_observed=jax.lax.psum(fr.num_observed, "x"),
+            num_inserted=jax.lax.psum(
+                jnp.sum(fr.insert_mask, dtype=jnp.int32), "x"),
+            num_deleted=jax.lax.psum(
+                jnp.sum(fr.delete_mask, dtype=jnp.int32), "x"),
+            num_sweeps=jnp.int32(0),
+        )
+        return (fr.logodds, fr.seen, jnp.zeros_like(hit_cnt),
+                jnp.zeros_like(miss_cnt), d2, closest, stats)
+
+    s3 = P("x", None, None)
+    s4 = P(None, "x", None, None)
+    sm = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(s3, s3, s3, s3, s3, s4, P(), P(), P()),
+        out_specs=(s3, s3, s3, s3, s3, s4,
+                   UpdateStats(P(), P(), P(), P())),
+        check_vma=False,  # pallas_call inside shard_map has no vma info
+    )
+
+    @jax.jit
+    def step(state: MapState, points, valids, transforms, cur_pos):
+        del cur_pos  # window mode is not sharded; global updates only
+        lo, seen, hit, miss, d2, closest, stats = sm(
+            state.logodds, state.seen, state.hit_cnt, state.miss_cnt,
+            state.d2, state.closest, points, valids, transforms,
+        )
+        return MapState(logodds=lo, d2=d2, closest=closest, seen=seen,
+                        hit_cnt=hit, miss_cnt=miss), stats
+
+    return step
 
 
 def sharded_esdf_update(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0):
