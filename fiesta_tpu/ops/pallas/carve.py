@@ -94,19 +94,17 @@ def octant_free_sweep_pallas(
     max2 = np.float32((max_ray / res) ** 2)
 
     # amortize per-grid-step scheduling over U slabs per step: U = largest
-    # divisor of the (possibly padded) axis length <= 16; far-end zero pad
-    # is processed first by both directions and sliced off the outputs
-    def pick_u(m):
-        u = min(m, 16)
-        while m % u:
-            u -= 1
-        return u
+    # divisor of the (possibly padded) axis length <= 16.  The high-end
+    # zero pad is harmless in both directions (the reverse sweep meets it
+    # first with a zero carry; the forward sweep reaches it after all real
+    # slabs) and its outputs are sliced off.
+    from .edt import _pick_block
 
-    u = pick_u(a)
+    u = _pick_block(a, 16)
     pad = 0
     if u < 4:
         pad = -a % 8
-        u = pick_u(a + pad)
+        u = _pick_block(a + pad, 16)
     ap = a + pad
     if pad:
         seed_vols = [

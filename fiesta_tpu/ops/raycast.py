@@ -671,17 +671,7 @@ def integrate_scan_scanline(
     if window is not None:
         # the window gates which counters change; carve geometry (seeds)
         # is physical and ignores it
-        wmin, wmax = window
-
-        def axis_ok(n_, lo, hi, off):
-            c = jnp.arange(n_, dtype=jnp.int32) + off
-            return (c >= lo) & (c <= hi)
-
-        wmask_b = (
-            axis_ok(bx, wmin[0], wmax[0], starts[0])[:, None, None]
-            & axis_ok(by, wmin[1], wmax[1], starts[1])[None, :, None]
-            & axis_ok(bz, wmin[2], wmax[2], starts[2])[None, None, :]
-        )
+        wmask_b = _box_window_mask(cfg, starts, window, (bx, by, bz))
         hit_b = jnp.where(wmask_b, hit_b, 0)
         epfree_b = jnp.where(wmask_b, epfree_b, 0)
 

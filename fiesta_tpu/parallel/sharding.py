@@ -272,6 +272,14 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     n = mesh.devices.size
     gx = cfg.grid_shape[0]
     assert gx % n == 0, f"grid X={gx} must divide by mesh size {n}"
+    assert cfg.esdf_mode == "rebuild", (
+        "sharded_fused_tick implements the rebuild path; use "
+        "sharded_esdf_update for queue-semantics incremental mode")
+    assert cfg.global_update, (
+        "window mode is not sharded (global updates only)")
+    assert cfg.edt_fine_dist >= cfg.trunc_dist, (
+        "the sharded tick runs a single-level EDT at trunc_dist; set "
+        "edt_fine_dist >= trunc_dist so it matches the single-device path")
     lx = gx // n
     t = int(math.ceil(cfg.trunc_dist / cfg.resolution))
     edt_local = _local_truncated_edt(cfg, n, t)
