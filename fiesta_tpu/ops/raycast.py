@@ -508,7 +508,16 @@ def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:
 
 
 def _scanline_seeds(cfg: FiestaConfig, points, valid, origin):
-    """Endpoint scatter for one scan: box placement + packed seed splat.
+    """Endpoint scatter for one scan: box placement + seed splat.
+
+    Two scatter-maxes: observation CLASS (hit=2 wins over free-endpoint=1,
+    SetOccupancy semantics) and observation RANGE W (carve seed; hits
+    contribute their true range, max-ray-clipped endpoints max_ray + res).
+    Rays whose endpoint leaves the carve box / grid lose the endpoint
+    observation (the reference drops out-of-grid SetOccupancy too) but
+    still contribute a carve-only range seed at the box-exit voxel, so the
+    in-map portion of the ray is freed exactly as the reference's DDA
+    frees it (Fiesta.h:233-248 walks the AABB-clipped ray).
 
     Returns (starts i32[3], po_box f32[3], seeds f32[BX,BY,BZ],
     hit_b u8, epfree_b u8, rvalid bool[R]).
@@ -533,26 +542,51 @@ def _scanline_seeds(cfg: FiestaConfig, points, valid, origin):
     vb = vox - starts
     in_box = jnp.all((vb >= 0) & (vb < jnp.array([bx, by, bz])), axis=-1)
     in_grid = jnp.all((vox >= 0) & (vox < jnp.array([gx, gy, gz])), axis=-1)
-    ok = rvalid & in_box & in_grid
-    lin = vb[..., 0] * (by * bz) + vb[..., 1] * bz + vb[..., 2]
+    inside = in_box & in_grid
 
-    # ONE packed scatter carries everything (scatters cost ~9 us per 1k
-    # elements; three separate ones dominated this function):
-    #   hit endpoint     -> 2000 + ray length   (hits always win the max)
-    #   clipped endpoint -> 1000
+    # Box-exit clip for rays leaving the box: standard slab exit parameter
+    # along the (max-ray-clipped) ray, shrunk half a voxel so the seed
+    # voxel lies strictly inside.
+    lo_w = map_origin + starts.astype(jnp.float32) * cfg.resolution
+    hi_w = lo_w + jnp.array([bx, by, bz], jnp.float32) * cfg.resolution
+    u = clipped - origin
+    safe_u = jnp.where(jnp.abs(u) < 1e-9, 1e-9, u)
+    t_ax = jnp.where(u > 0, (hi_w - origin) / safe_u,
+                     (lo_w - origin) / safe_u)
+    s_exit = jnp.clip(jnp.min(t_ax, axis=-1), 0.0, 1.0)
+    ulen = jnp.linalg.norm(u, axis=-1)
+    exit_dist = s_exit * ulen - 0.5 * cfg.resolution
+    exit_pt = origin + u * (exit_dist / jnp.maximum(ulen, 1e-9))[..., None]
+    evox = jnp.floor(
+        (exit_pt - map_origin) / cfg.resolution).astype(jnp.int32)
+    evb = jnp.clip(evox - starts, 0, jnp.array([bx - 1, by - 1, bz - 1]))
+
+    seed_vb = jnp.where(inside[..., None], vb, evb)
     r = jnp.linalg.norm(points - origin, axis=-1)
-    packed_val = jnp.where(is_hit, 2000.0 + r, 1000.0).astype(jnp.float32)
-    packed = (
+    w_val = jnp.where(
+        inside,
+        jnp.where(is_hit, r, cfg.max_ray_length + cfg.resolution),
+        exit_dist + cfg.resolution,
+    ).astype(jnp.float32)
+    carve_ok = rvalid & (~inside | True)   # every valid ray seeds W
+    lin_w = seed_vb[..., 0] * (by * bz) + seed_vb[..., 1] * bz         + seed_vb[..., 2]
+    seeds = (
         jnp.zeros((nb,), jnp.float32)
-        .at[jnp.where(ok, lin, nb)].max(packed_val, mode="drop")
+        .at[jnp.where(carve_ok, lin_w, nb)].max(w_val, mode="drop")
         .reshape(bx, by, bz)
     )
-    hit_b = (packed >= 2000.0).astype(jnp.uint8)
-    epfree_b = ((packed >= 1000.0) & (packed < 2000.0)).astype(jnp.uint8)
-    seeds = jnp.where(
-        hit_b > 0, packed - 2000.0,
-        jnp.where(epfree_b > 0, cfg.max_ray_length + cfg.resolution, 0.0),
+
+    # endpoint observation class (only endpoints inside the box/grid)
+    ok = rvalid & inside
+    lin = vb[..., 0] * (by * bz) + vb[..., 1] * bz + vb[..., 2]
+    cls_val = jnp.where(is_hit, 2.0, 1.0).astype(jnp.float32)
+    cls = (
+        jnp.zeros((nb,), jnp.float32)
+        .at[jnp.where(ok, lin, nb)].max(cls_val, mode="drop")
+        .reshape(bx, by, bz)
     )
+    hit_b = (cls >= 2.0).astype(jnp.uint8)
+    epfree_b = (cls == 1.0).astype(jnp.uint8)
     return starts, po_box, seeds, hit_b, epfree_b, rvalid
 
 

@@ -241,3 +241,55 @@ def test_fusion_clamps():
         r = fusion.fuse_counts(cfg, lo, seen, hit, miss)
         lo = r.logodds
     assert float(lo.max()) == pytest.approx(cfg.clamp_max_log)
+
+
+def test_scanline_carve_agrees_with_dda_within_one_voxel():
+    """Quantifies the documented divergence (PARITY.md #1): the octant
+    shadow-casting carve matches per-ray DDA free space except within ~1
+    voxel of depth silhouettes, and NEVER frees a hit voxel."""
+    rng = np.random.default_rng(11)
+    origin = np.array([0.0, 0.0, 0.0], np.float32)
+    # DENSE spherical scan (every outer-shell voxel crossed by some ray --
+    # with sparse rays the two free sets differ structurally: DDA frees
+    # ray LINES while the carve fills observation cones) with a depth
+    # discontinuity (half-space wall)
+    n = 30000
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    r = np.where(dirs[:, 0] > 0, 1.2, 2.4).astype(np.float32)
+    pts = origin + dirs * r[:, None]
+
+    r_dda = _integrate("dda", pts, origin)
+    r_scan = _integrate("scanline", pts, origin)
+
+    free_dda = (np.asarray(r_dda.miss_cnt) > 0) & (np.asarray(r_dda.hit_cnt) == 0)
+    free_scan = (np.asarray(r_scan.miss_cnt) > 0) & (np.asarray(r_scan.hit_cnt) == 0)
+    hits = np.asarray(r_dda.hit_cnt) > 0
+
+    # hits never erased by the carve (occupancy safety invariant)
+    assert not (free_scan & hits).any()
+
+    diff = free_dda ^ free_scan
+    if diff.any():
+        # every disagreeing voxel is within 1 voxel (26-neighborhood) of a
+        # voxel where the free sets agree on "free" in the other map, or of
+        # a hit — i.e., confined to silhouettes/boundaries
+        from scipy import ndimage
+        boundary = hits | free_dda
+        near_boundary = ndimage.binary_dilation(
+            ndimage.binary_dilation(boundary)
+        )
+        stray = diff & ~near_boundary
+        # a small residue of stray voxels is the documented cone-vs-line
+        # divergence at coverage gaps; bound it
+        assert stray.sum() <= 0.002 * free_dda.sum(), (
+            f"{stray.sum()} disagreements beyond 2 voxels of observed "
+            f"space ({free_dda.sum()} free)")
+    # bulk agreement on the INTERIOR of the DDA free set (the carve is
+    # deliberately one voxel conservative at surfaces: rv < W - res, so
+    # the last shell before every endpoint stays un-carved)
+    from scipy import ndimage
+    interior = free_dda & ~ndimage.binary_dilation(~free_dda)
+    covered = (free_scan & interior).sum()
+    assert covered > 0.95 * max(interior.sum(), 1), (
+        f"carve covers only {covered}/{interior.sum()} interior free voxels")
