@@ -561,32 +561,40 @@ def _scanline_seeds(cfg: FiestaConfig, points, valid, origin):
         (exit_pt - map_origin) / cfg.resolution).astype(jnp.int32)
     evb = jnp.clip(evox - starts, 0, jnp.array([bx - 1, by - 1, bz - 1]))
 
+    # ONE packed scatter carries class AND carve range W:
+    #   hit endpoint (in box)      -> 2000 + true range
+    #   clipped endpoint (in box)  -> 1000 + (max_ray + res)
+    #   box-exit carve-only seed   -> 1000 + (exit_dist + res)
+    # Max picks the hit class over any free seed at the same voxel
+    # (SetOccupancy semantics); when a hit and a larger exit-W collide the
+    # hit's smaller W wins, which only under-carves (the safe direction).
     seed_vb = jnp.where(inside[..., None], vb, evb)
     r = jnp.linalg.norm(points - origin, axis=-1)
-    w_val = jnp.where(
-        inside,
-        jnp.where(is_hit, r, cfg.max_ray_length + cfg.resolution),
-        exit_dist + cfg.resolution,
+    packed_val = jnp.where(
+        inside & is_hit, 2000.0 + r,
+        1000.0 + jnp.where(inside, cfg.max_ray_length + cfg.resolution,
+                           exit_dist + cfg.resolution),
     ).astype(jnp.float32)
-    carve_ok = rvalid & (~inside | True)   # every valid ray seeds W
-    lin_w = seed_vb[..., 0] * (by * bz) + seed_vb[..., 1] * bz         + seed_vb[..., 2]
-    seeds = (
+    lin_w = (seed_vb[..., 0] * (by * bz) + seed_vb[..., 1] * bz
+             + seed_vb[..., 2])
+    packed = (
         jnp.zeros((nb,), jnp.float32)
-        .at[jnp.where(carve_ok, lin_w, nb)].max(w_val, mode="drop")
+        .at[jnp.where(rvalid, lin_w, nb)].max(packed_val, mode="drop")
         .reshape(bx, by, bz)
     )
-
-    # endpoint observation class (only endpoints inside the box/grid)
-    ok = rvalid & inside
-    lin = vb[..., 0] * (by * bz) + vb[..., 1] * bz + vb[..., 2]
-    cls_val = jnp.where(is_hit, 2.0, 1.0).astype(jnp.float32)
-    cls = (
-        jnp.zeros((nb,), jnp.float32)
-        .at[jnp.where(ok, lin, nb)].max(cls_val, mode="drop")
-        .reshape(bx, by, bz)
+    hit_b = (packed >= 2000.0).astype(jnp.uint8)
+    freeish = (packed >= 1000.0) & (packed < 2000.0)
+    seeds = jnp.where(
+        hit_b > 0, packed - 2000.0,
+        jnp.where(freeish, packed - 1000.0, 0.0),
     )
-    hit_b = (cls >= 2.0).astype(jnp.uint8)
-    epfree_b = (cls == 1.0).astype(jnp.uint8)
+    # endpoint free-observations: only max-ray-clipped endpoints INSIDE
+    # the box count (exit-only seeds are not observations); recoverable
+    # from W — the epfree W is exactly max_ray + res, exit Ws are smaller
+    epfree_b = (
+        freeish
+        & (packed - 1000.0 >= cfg.max_ray_length + cfg.resolution - 1e-4)
+    ).astype(jnp.uint8)
     return starts, po_box, seeds, hit_b, epfree_b, rvalid
 
 
