@@ -50,8 +50,14 @@ class MapState:
       d2       i32  squared distance, voxels  (distance_buffer_,  ESDFMap.h:76)
       closest  i16  closest-obstacle coords   (closest_obstacle_, ESDFMap.h:79)
       seen     bool voxel ever observed       (distance_buffer_ >= 0 test)
-      hit_cnt  i32  per-update hit counter    (num_hit_,  ESDFMap.h:77)
-      miss_cnt i32  per-update miss counter   (num_miss_, ESDFMap.h:77)
+      hit_cnt  u8   per-update hit counter    (num_hit_,  ESDFMap.h:77)
+      miss_cnt u8   per-update miss counter   (num_miss_, ESDFMap.h:77)
+
+    The counters are per-tick scratch (drained and zeroed by every fusion,
+    ESDFMap.cpp:268-270): each scan adds at most 1 hit and 2 misses per
+    voxel, so uint8 holds >= 127 scans per tick — far beyond the
+    reference's ~3 frames per 10 Hz drain — at 1/4 the HBM traffic of the
+    reference-matching int.
     """
 
     logodds: jax.Array
@@ -70,8 +76,8 @@ def make_state(cfg: FiestaConfig) -> MapState:
         d2=jnp.full(shape, INF_D2, jnp.int32),
         closest=jnp.full((3,) + shape, UNDEFINED_COORD, jnp.int16),
         seen=jnp.zeros(shape, bool),
-        hit_cnt=jnp.zeros(shape, jnp.int32),
-        miss_cnt=jnp.zeros(shape, jnp.int32),
+        hit_cnt=jnp.zeros(shape, jnp.uint8),
+        miss_cnt=jnp.zeros(shape, jnp.uint8),
     )
 
 

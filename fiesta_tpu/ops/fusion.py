@@ -53,8 +53,9 @@ def fuse_counts(
     if window_mask is not None:
         observed = observed & window_mask
 
-    # Vote rule (ESDFMap.cpp:243).
-    is_hit = (2 * hit_cnt) >= miss_cnt
+    # Vote rule (ESDFMap.cpp:243).  Counters are uint8; widen so the
+    # doubled hit count cannot wrap.
+    is_hit = (2 * hit_cnt.astype(jnp.int32)) >= miss_cnt.astype(jnp.int32)
     l_update = jnp.where(is_hit, cfg.prob_hit_log, cfg.prob_miss_log).astype(
         jnp.float32
     )

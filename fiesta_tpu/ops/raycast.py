@@ -118,11 +118,12 @@ def _endpoint_masks(cfg: FiestaConfig, clipped, valid, is_hit, win):
 
 
 def _apply_counts(hit_cnt, miss_cnt, hit_m, epfree_m, pathfree_m):
-    hit32 = hit_m.astype(jnp.int32)
-    ep32 = epfree_m.astype(jnp.int32)
-    path32 = pathfree_m.astype(jnp.int32)
-    hit_cnt = hit_cnt + hit32
-    miss_cnt = miss_cnt + jnp.maximum(hit32, ep32) + path32
+    dt = hit_cnt.dtype  # counters are uint8 (see grid.MapState)
+    hit_d = hit_m.astype(dt)
+    ep_d = epfree_m.astype(dt)
+    path_d = pathfree_m.astype(dt)
+    hit_cnt = hit_cnt + hit_d
+    miss_cnt = miss_cnt + jnp.maximum(hit_d, ep_d) + path_d
     return hit_cnt, miss_cnt
 
 
@@ -632,17 +633,17 @@ def integrate_scan_scanline_batch(
     """
     kk = points.shape[0]
     box = _carve_box_shape(cfg)
-    starts, hit32, miss32, n_rays, n_endpoints = scanline_batch_boxes(
+    starts, hitc, missc, n_rays, n_endpoints = scanline_batch_boxes(
         cfg, points, valid, origins, window
     )
     for i in range(kk):
         s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]
         reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), box)
         hit_cnt = jax.lax.dynamic_update_slice(
-            hit_cnt, reg + hit32[i], (s0, s1, s2))
+            hit_cnt, reg + hitc[i].astype(reg.dtype), (s0, s1, s2))
         reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), box)
         miss_cnt = jax.lax.dynamic_update_slice(
-            miss_cnt, reg + miss32[i], (s0, s1, s2))
+            miss_cnt, reg + missc[i].astype(reg.dtype), (s0, s1, s2))
     return ScanResult(hit_cnt, miss_cnt, n_rays, n_endpoints)
 
 
@@ -655,7 +656,7 @@ def scanline_batch_boxes(
 ):
     """Box-local observation contributions of K scans (carve included).
 
-    Returns (starts [K,3] i32, hit32 [K,BX,BY,BZ] i32, miss32 same,
+    Returns (starts [K,3] i32, hitc [K,BX,BY,BZ] u8, missc same,
     n_rays, n_endpoints).  Factored out of the full-grid integrator so the
     sharded pipeline can apply the same contributions to grid slabs.
     """
@@ -676,15 +677,13 @@ def scanline_batch_boxes(
     if window is not None:
         free = free & wmask_b
 
-    hit32 = hit_b.astype(jnp.int32)
-    miss32 = (
-        jnp.maximum(hit32, epfree_b.astype(jnp.int32))
-        + free.astype(jnp.int32)
-    )
+    hitc = hit_b  # already u8 in {0,1}
+    missc = jnp.maximum(hit_b, epfree_b) + free.astype(jnp.uint8)
     return (
-        starts, hit32, miss32,
+        starts, hitc, missc,
         jnp.sum(rvalid, dtype=jnp.int32),
-        jnp.sum(hit32) + jnp.sum(epfree_b.astype(jnp.int32)),
+        jnp.sum(hit_b, dtype=jnp.int32)
+        + jnp.sum(epfree_b, dtype=jnp.int32),
     )
 
 
@@ -723,23 +722,24 @@ def integrate_scan_scanline(
     pathfree_b = free.astype(jnp.uint8)
 
     # Apply counts inside the box region of the full-grid counters.
-    hit32 = hit_b.astype(jnp.int32)
-    miss32 = (
-        jnp.maximum(hit32, epfree_b.astype(jnp.int32))
-        + pathfree_b.astype(jnp.int32)
+    hitc = hit_b.astype(hit_cnt.dtype)
+    missc = (
+        jnp.maximum(hitc, epfree_b.astype(hit_cnt.dtype))
+        + pathfree_b.astype(hit_cnt.dtype)
     )
     s0, s1, s2 = starts[0], starts[1], starts[2]
     hit_reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), (bx, by, bz))
-    hit_cnt = jax.lax.dynamic_update_slice(hit_cnt, hit_reg + hit32,
+    hit_cnt = jax.lax.dynamic_update_slice(hit_cnt, hit_reg + hitc,
                                            (s0, s1, s2))
     miss_reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), (bx, by, bz))
-    miss_cnt = jax.lax.dynamic_update_slice(miss_cnt, miss_reg + miss32,
+    miss_cnt = jax.lax.dynamic_update_slice(miss_cnt, miss_reg + missc,
                                             (s0, s1, s2))
     return ScanResult(
         hit_cnt,
         miss_cnt,
         jnp.sum(rvalid, dtype=jnp.int32),
-        jnp.sum(hit32) + jnp.sum(epfree_b.astype(jnp.int32)),
+        jnp.sum(hit_b, dtype=jnp.int32)
+        + jnp.sum(epfree_b, dtype=jnp.int32),
     )
 
 

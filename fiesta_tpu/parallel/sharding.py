@@ -285,7 +285,7 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     edt_local = _local_truncated_edt(cfg, n, t)
     bx, by, bz = raycast._carve_box_shape(cfg)
 
-    def apply_box_local(cnt_local, box32, start, x0):
+    def apply_box_local(cnt_local, boxc, start, x0):
         """Add a carve-box contribution to the slab it intersects.
 
         The x start is clamped into [-BX, Lx] and the slab padded by BX on
@@ -296,7 +296,8 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         padded = jnp.pad(cnt_local, ((bx, bx), (0, 0), (0, 0)))
         at = (ls + bx, start[1], start[2])
         reg = jax.lax.dynamic_slice(padded, at, (bx, by, bz))
-        padded = jax.lax.dynamic_update_slice(padded, reg + box32, at)
+        padded = jax.lax.dynamic_update_slice(
+            padded, reg + boxc.astype(reg.dtype), at)
         return padded[bx:bx + lx]
 
     def local_fn(logodds, seen, hit_cnt, miss_cnt, d2, closest,
