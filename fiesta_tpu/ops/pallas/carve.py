@@ -78,7 +78,15 @@ def octant_free_sweep_pallas(
 
     Free test, in squared voxel units (no sqrt):
       (min_ray/res)^2 <= r2 <= (max_ray/res)^2, W > res,
-      r2 < ((W - res)/res)^2.
+      r2 < ((W - res)/res)^2,
+    masked to the sweep's own halfspace (fwd: dax <= 0, rev: dax > 0) —
+    a seed's cone only covers voxels on its own side of the sensor, so
+    anything a carry smuggles past the sensor plane is spurious.  The mask
+    also makes every output slab past the sensor identically zero, so each
+    sweep SKIPS compute for the half of its walk beyond the sensor plane
+    (predicates from the per-orientation sensor-coordinate extrema, read
+    from SMEM) and just zero-fills those output blocks.
+
     Returns a flat list of [K, A, C2, C3] uint8: (fwd, rev) per volume.
     """
     from jax.experimental import pallas as pl
@@ -116,11 +124,11 @@ def octant_free_sweep_pallas(
 
     def kernel(*refs):
         # layout: per orientation i: seeds_fwd, seeds_rev (same array, two
-        # index maps), po, o2, o3 — then outputs (fwd, rev) per i — then
-        # carry scratch (fwd, rev) per i.
-        ins = refs[:5 * n]
-        outs = refs[5 * n:7 * n]
-        carries = refs[7 * n:9 * n]
+        # index maps), po, o2, o3, po_lims (SMEM) — then outputs
+        # (fwd, rev) per i — then carry scratch (fwd, rev) per i.
+        ins = refs[:6 * n]
+        outs = refs[6 * n:8 * n]
+        carries = refs[8 * n:10 * n]
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -132,7 +140,8 @@ def octant_free_sweep_pallas(
         for i in range(n):
             k, _, c2, c3 = shapes[i]
             ge2, ge3 = tie_rules[i]
-            s_fwd, s_rev, po_ref, o2_ref, o3_ref = ins[5 * i:5 * i + 5]
+            (s_fwd, s_rev, po_ref, o2_ref, o3_ref,
+             lims_ref) = ins[6 * i:6 * i + 6]
             o2v = o2_ref[:]                          # [K, C2]
             o3v = o3_ref[:]                          # [K, C3]
             ao2 = jnp.abs(o2v)
@@ -143,38 +152,60 @@ def octant_free_sweep_pallas(
                 sref = s_rev if rev else s_fwd
                 oref = outs[2 * i + rev]
                 carry = carries[2 * i + rev]
-                w = carry[:]
-                block = sref[:]                      # [K, U, C2, C3]
                 # rev blocks walk descending; within a block the far
                 # slab is the highest sub-index
                 base = (jnp.float32(n_steps - 1) - gf) * u if rev \
                     else gf * u
-                for sub in (range(u - 1, -1, -1) if rev else range(u)):
-                    idx = base + jnp.float32(sub)
-                    # Mosaic note: minor dims are only inserted on 2-D
-                    # f32 values (1-D -> 3-D reshapes and i1 inserts
-                    # don't legalize), hence the [K, 1] staging.
-                    dax = (idx - po).reshape(k, 1)   # [K, 1]
-                    adax = jnp.abs(dax)
-                    m2 = (adax >= ao2) if ge2 else (adax > ao2)  # [K,C2]
-                    m3 = (adax >= ao3) if ge3 else (adax > ao3)  # [K,C3]
-                    sgn = (dax > 0) if rev else (dax <= 0)       # [K,1]
-                    m2f = (m2 & sgn).astype(jnp.float32)[:, :, None]
-                    m3f = m3.astype(jnp.float32)[:, None, :]
-                    mask = m2f * m3f         # seeds >= 0: * == where
-                    slab = block[:, sub] * mask
-                    d = jnp.maximum(adax, 0.5)       # [K, 1]
-                    w = jnp.maximum(slab, _taps(w, o2v / d, o3v / d,
-                                                c2, c3))
-                    # dax^2 folds into the [K, C2] term: a [K,1,1] operand
-                    # would broadcast both sublanes and lanes at once,
-                    # which Mosaic cannot lower for some block shapes
-                    r2 = (dax * dax + o2v * o2v)[:, :, None] + r2_3
-                    wv = (w - resf) * inv_res
-                    free = ((w > resf) & (r2 >= min2) & (r2 <= max2)
-                            & (r2 < wv * wv))
-                    oref[:, sub] = free.astype(jnp.uint8)
-                carry[:] = w
+                # halfspace skip: fwd outputs need idx <= po for some k
+                # (sgn = dax <= 0), rev outputs need idx > po; once the
+                # walk passes every sensor plane the block is all-zero.
+                if rev:
+                    useful = base + jnp.float32(u - 1) > lims_ref[0]
+                else:
+                    useful = base <= lims_ref[1]
+
+                @pl.when(useful)
+                def _(sref=sref, oref=oref, carry=carry, base=base,
+                      rev=rev, ge2=ge2, ge3=ge3, k=k, c2=c2, c3=c3,
+                      o2v=o2v, o3v=o3v, ao2=ao2, ao3=ao3, r2_3=r2_3,
+                      po=po):
+                    w = carry[:]
+                    block = sref[:]                  # [K, U, C2, C3]
+                    for sub in (range(u - 1, -1, -1) if rev else range(u)):
+                        idx = base + jnp.float32(sub)
+                        # Mosaic note: minor dims are only inserted on 2-D
+                        # f32 values (1-D -> 3-D reshapes and i1 inserts
+                        # don't legalize), hence the [K, 1] staging.
+                        dax = (idx - po).reshape(k, 1)   # [K, 1]
+                        adax = jnp.abs(dax)
+                        m2 = (adax >= ao2) if ge2 else (adax > ao2)
+                        m3 = (adax >= ao3) if ge3 else (adax > ao3)
+                        sgn = (dax > 0) if rev else (dax <= 0)   # [K,1]
+                        m2f = (m2 & sgn).astype(jnp.float32)[:, :, None]
+                        m3f = m3.astype(jnp.float32)[:, None, :]
+                        mask = m2f * m3f     # seeds >= 0: * == where
+                        slab = block[:, sub] * mask
+                        d = jnp.maximum(adax, 0.5)       # [K, 1]
+                        w = jnp.maximum(slab, _taps(w, o2v / d, o3v / d,
+                                                    c2, c3))
+                        # dax^2 folds into the [K, C2] term: a [K,1,1]
+                        # operand would broadcast both sublanes and lanes
+                        # at once, which Mosaic cannot lower for some
+                        # block shapes.  The sweep's own halfspace (sgn)
+                        # folds in as an r2 poison: outputs are confined
+                        # to the side of the sensor the seeds live on.
+                        r2_2 = dax * dax + o2v * o2v       # [K, C2]
+                        r2_2 = jnp.where(sgn, r2_2, jnp.float32(1e9))
+                        r2 = r2_2[:, :, None] + r2_3
+                        wv = (w - resf) * inv_res
+                        free = ((w > resf) & (r2 >= min2) & (r2 <= max2)
+                                & (r2 < wv * wv))
+                        oref[:, sub] = free.astype(jnp.uint8)
+                    carry[:] = w
+
+                @pl.when(jnp.logical_not(useful))
+                def _(oref=oref):
+                    oref[:] = jnp.zeros_like(oref)
 
     in_specs = []
     args = []
@@ -191,7 +222,10 @@ def octant_free_sweep_pallas(
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((k, c3), lambda g: (0, 0),
                                      memory_space=pltpu.VMEM))
-        args.extend([v, v, po_rows[i], o2_rows[i], o3_rows[i]])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        po_ax = po_rows[i][0]
+        lims = jnp.stack([jnp.min(po_ax), jnp.max(po_ax)])
+        args.extend([v, v, po_rows[i], o2_rows[i], o3_rows[i], lims])
 
     out_shape = []
     out_specs = []

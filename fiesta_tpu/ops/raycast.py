@@ -471,6 +471,14 @@ def carve_free_mask_batch(
     o_xz = xs[None] - po[:, 0, None]   # [K, BX]
     o_z = zs[None] - po[:, 2, None]    # [K, BZ]
 
+    # Each sweep's free contribution is masked to its own halfspace
+    # (fwd: d <= 0, rev: d > 0) — a seed's cone only covers voxels on its
+    # own side of the sensor — matching the Pallas kernel exactly.
+    r2 = dx * dx + dy * dy + dz * dz
+
+    def ftest(W):
+        return _free_from_r2(cfg, r2, W)
+
     if bx == by:
         wf, wr = _sweep_pair_xla(
             jnp.concatenate([sx_n, sy_n], 0),
@@ -479,24 +487,25 @@ def carve_free_mask_batch(
             jnp.concatenate([o_yz, o_xz], 0),
             jnp.concatenate([o_z, o_z], 0),
         )
-        W = jnp.maximum(wf[:k], wr[:k])
-        W = jnp.maximum(
-            W, jnp.maximum(wf[k:], wr[k:]).transpose(0, 2, 1, 3)
-        )
+        wxf, wxr = wf[:k], wr[:k]
+        wyf = wf[k:].transpose(0, 2, 1, 3)
+        wyr = wr[k:].transpose(0, 2, 1, 3)
     else:
         wxf, wxr = _sweep_pair_xla(sx_n, sx_p, po[:, 0], o_yz, o_z)
         wyf, wyr = _sweep_pair_xla(sy_n, sy_p, po[:, 1], o_xz, o_z)
-        W = jnp.maximum(wxf, wxr)
-        W = jnp.maximum(W, jnp.maximum(wyf, wyr).transpose(0, 2, 1, 3))
+        wyf = wyf.transpose(0, 2, 1, 3)
+        wyr = wyr.transpose(0, 2, 1, 3)
+
+    free = (ftest(wxf) & (dx <= 0)) | (ftest(wxr) & (dx > 0))
+    free |= (ftest(wyf) & (dy <= 0)) | (ftest(wyr) & (dy > 0))
 
     sz = seeds.transpose(0, 3, 1, 2)
     sz_p = jnp.where((octz & (dz > 0)).transpose(0, 3, 1, 2), sz, 0.0)
     sz_n = jnp.where((octz & (dz <= 0)).transpose(0, 3, 1, 2), sz, 0.0)
     wzf, wzr = _sweep_pair_xla(sz_n, sz_p, po[:, 2], o_xz, o_yz)
-    W = jnp.maximum(W, jnp.maximum(wzf, wzr).transpose(0, 2, 3, 1))
-
-    r2 = dx * dx + dy * dy + dz * dz
-    return _free_from_r2(cfg, r2, W)
+    free |= (ftest(wzf.transpose(0, 2, 3, 1)) & (dz <= 0)) \
+        | (ftest(wzr.transpose(0, 2, 3, 1)) & (dz > 0))
+    return free
 
 
 def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:

@@ -225,6 +225,46 @@ def fused_batch_step(
                                    max_iters=max_iters)
 
 
+@partial(jax.jit, static_argnames=("cfg", "method", "use_window",
+                                   "max_iters"),
+         donate_argnames=("state",))
+def fused_stream(
+    cfg: FiestaConfig,
+    state: MapState,
+    points: jax.Array,       # [N, K, P, 3] sensor-frame scans, N ticks
+    valids: jax.Array,       # [N, K, P]
+    transforms: jax.Array,   # [N, K, 4, 4]
+    cur_positions: jax.Array,  # [N, 3]
+    use_window: bool = False,
+    method: str = "scanline",
+    max_iters: int = 0,
+) -> Tuple[MapState, UpdateStats]:
+    """N consecutive ESDF ticks as ONE device program (``lax.scan``).
+
+    The streaming equivalent of N ``fused_batch_step`` calls — bit-identical
+    state evolution — with the tick loop resident on device, so no host
+    dispatch sits between ticks.  This is the idiomatic TPU executor for
+    any pre-staged stream: recorded-log replay, backlog catch-up, and
+    benchmarking (the reference's online setting leaves 100 ms between
+    ticks, so per-tick dispatch latency is never on its critical path; what
+    matters is tick *compute* throughput, which this measures cleanly).
+
+    Returns the final state and per-tick stacked UpdateStats [N].
+    """
+
+    def body(st, inp):
+        pts, val, tf, pos = inp
+        st, stats = fused_batch_step.__wrapped__(
+            cfg, st, pts, val, tf, pos,
+            use_window=use_window, method=method, max_iters=max_iters,
+        )
+        return st, stats
+
+    return jax.lax.scan(
+        body, state, (points, valids, transforms, cur_positions)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side pose/depth synchronization (component C14)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,241 @@
+"""Per-stage roofline profiling of the fused mapping tick (diagnostic).
+
+Each stage runs R times inside ONE jitted ``fori_loop`` with a carried
+data dependency (so XLA cannot hoist it), streamed with a single scalar
+readback — the only timing protocol the axon tunnel respects (PERF.md).
+"""
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+R = 20
+
+
+def timed(name, fn, *args):
+    """fn must be a jitted callable returning a scalar-reducible array."""
+    import jax
+
+    out = fn(*args)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ms = 1e3 * (time.perf_counter() - t0) / R
+    log(f"{name:<42s} {ms:7.3f} ms")
+    return ms
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from functools import partial
+
+    from fiesta_tpu import COW_AND_LADY
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.ops import fusion, raycast
+    from fiesta_tpu.ops.depth import pose_to_matrix
+    from fiesta_tpu.ops.pallas import edt as edt_mod
+    from fiesta_tpu.pipeline import FiestaPipeline, fused_batch_step
+
+    h, w = 192, 256
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(COW_AND_LADY, h, w),
+        max_points_per_scan=h * w,
+    )
+    world, frames = replay.make_sequence(
+        cfg, n_frames=7, n_boxes=20, seed=0, kind="cloud",
+        height=h, width=w, period=12.0, orbit_radius=5.0,
+    )
+    pipe = FiestaPipeline(cfg, method="scanline")
+    trio = frames[:3]
+    pts, vals, tfs = [], [], []
+    for t, (pos, quat), scan in trio:
+        p, v = pipe.preload_cloud(scan)
+        pts.append(p)
+        vals.append(v)
+        tfs.append(pose_to_matrix(pos, quat))
+    pts = jnp.stack(pts)
+    vals = jnp.stack(vals)
+    tfs = jnp.asarray(np.stack(tfs), jnp.float32)
+    pos = jnp.asarray(trio[-1][1][0], jnp.float32)
+
+    # settle the map so occupancy is realistic
+    for i in range(0, 6, 3):
+        pipe.state, _ = fused_batch_step(
+            cfg, pipe.state, pts, vals, tfs, pos, method="scanline")
+    pipe.sync_device()
+    state = pipe.state
+    occupied = jnp.asarray(
+        np.asarray(pipe.occupied()))  # materialized bool grid
+
+    pw = jnp.einsum("kpj,kij->kpi", pts, tfs[:, :3, :3]) \
+        + tfs[:, None, :3, 3]
+    origins = tfs[:, :3, 3]
+
+    # ---- stage: seeds splat (vmapped packed scatter) ----
+    @jax.jit
+    def splat(p):
+        def body(i, carry):
+            p_, acc = carry
+            starts, po_box, seeds, hit_b, epfree_b, rvalid = jax.vmap(
+                lambda a, v, o: raycast._scanline_seeds(cfg, a, v, o)
+            )(p_, vals, origins)
+            s = seeds[0, 0, 0, 0]
+            return (p_ + s * 1e-20, acc + s)
+        _, acc = jax.lax.fori_loop(0, R, body, (p, jnp.float32(0)))
+        return acc
+    timed("seeds splat (3x49k packed scatter)", splat, pw)
+
+    # precompute seeds once for downstream stages
+    starts, po_box, seeds, hit_b, epfree_b, rvalid = jax.jit(jax.vmap(
+        lambda a, v, o: raycast._scanline_seeds(cfg, a, v, o)
+    ))(pw, vals, origins)
+    jax.block_until_ready(seeds)
+
+    # ---- stage: carve sweeps + combine ----
+    @jax.jit
+    def carve(s):
+        def body(i, carry):
+            s_, acc = carry
+            free = raycast.carve_free_mask_batch(cfg, s_, po_box)
+            f = free[0, 0, 0, 0].astype(jnp.float32)
+            return (s_ + f * 1e-20, acc + f)
+        _, acc = jax.lax.fori_loop(0, R, body, (s, jnp.float32(0)))
+        return acc
+    timed("carve sweeps+combine (pallas)", carve, seeds)
+
+    free = jax.jit(
+        lambda s: raycast.carve_free_mask_batch(cfg, s, po_box))(seeds)
+    jax.block_until_ready(free)
+    hitc = hit_b
+    missc = jnp.maximum(hit_b, epfree_b) + free.astype(jnp.uint8)
+
+    # ---- stage: counter slice RMW (6 dynamic slices) ----
+    box = raycast._carve_box_shape(cfg)
+
+    @jax.jit
+    def slices(hc, mc):
+        def body(i, carry):
+            hcnt, mcnt = carry
+            for k in range(3):
+                s0, s1, s2 = starts[k, 0], starts[k, 1], starts[k, 2]
+                reg = jax.lax.dynamic_slice(hcnt, (s0, s1, s2), box)
+                hcnt = jax.lax.dynamic_update_slice(
+                    hcnt, reg + hitc[k], (s0, s1, s2))
+                reg = jax.lax.dynamic_slice(mcnt, (s0, s1, s2), box)
+                mcnt = jax.lax.dynamic_update_slice(
+                    mcnt, reg + missc[k], (s0, s1, s2))
+            return (hcnt, mcnt)
+        hcnt, mcnt = jax.lax.fori_loop(0, R, body, (hc, mc))
+        return hcnt[0, 0, 0] + mcnt[0, 0, 0]
+    timed("counter slice RMW (6 u8 slices)", slices,
+          state.hit_cnt, state.miss_cnt)
+
+    # ---- stage: fusion ----
+    @jax.jit
+    def fuse(lo):
+        def body(i, carry):
+            lo_, acc = carry
+            fr = fusion.fuse_counts(cfg, lo_, state.seen,
+                                    state.hit_cnt, state.miss_cnt)
+            return (fr.logodds, acc + fr.logodds[0, 0, 0])
+        _, acc = jax.lax.fori_loop(0, R, body,
+                                   (lo, jnp.float32(0)))
+        return acc
+    timed("occupancy fusion (log-odds+flips)", fuse, state.logodds)
+
+    # ---- stage: EDT components ----
+    t_total = edt_mod.trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    t_fine = edt_mod.trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    log(f"t_fine={t_fine} t_total={t_total}")
+
+    def loop_occ(fn):
+        @jax.jit
+        def run(o):
+            def body(i, carry):
+                o_, acc = carry
+                d2 = fn(o_)
+                return (o_ ^ (d2[0, 0, 0] > 10**9), acc + d2[0, 0, 0])
+            _, acc = jax.lax.fori_loop(0, R, body, (o, jnp.int32(0)))
+            return acc
+        return run
+
+    timed("EDT fine (exact, t=%d)" % t_fine,
+          loop_occ(lambda o: edt_mod.truncated_edt_d2(o, t_fine)), occupied)
+
+    @jax.jit
+    def down(o):
+        def body(i, carry):
+            o_, acc = carry
+            oc = edt_mod._downsample2_any(o_)
+            return (o_ ^ oc[0, 0, 0], acc + oc.astype(jnp.int32)[0, 0, 0])
+        _, acc = jax.lax.fori_loop(0, R, body, (o, jnp.int32(0)))
+        return acc
+    timed("downsample 2x2x2 (MXU)", down, occupied)
+
+    occ_c = jax.jit(edt_mod._downsample2_any)(occupied)
+    jax.block_until_ready(occ_c)
+    tc = -(-t_total // 2)
+    timed("EDT coarse (t=%d, 1/8 voxels)" % tc,
+          loop_occ(lambda o: edt_mod.truncated_edt_d2(o, tc)), occ_c)
+
+    timed("EDT hierarchical total",
+          loop_occ(lambda o: edt_mod.hierarchical_edt_d2(
+              o, t_fine, t_total)), occupied)
+
+    # ---- single min-plus pass components on the fine grid ----
+    f0 = jnp.where(occupied, 0, edt_mod._INF_EDT).astype(jnp.int32)
+
+    def loop_i32(fn):
+        @jax.jit
+        def run(f):
+            def body(i, carry):
+                f_, acc = carry
+                p = fn(f_)
+                return (f_ + (p[0, 0, 0] & 1), acc + p[0, 0, 0])
+            _, acc = jax.lax.fori_loop(0, R, body, (f, jnp.int32(0)))
+            return acc
+        return run
+
+    timed("  binary pass x (log t)",
+          loop_i32(lambda f: edt_mod.binary_pass(f, t_fine)), f0)
+    timed("  minplus pass leading (t=%d)" % t_fine,
+          loop_i32(lambda f: edt_mod._minplus_pass(f, t_fine)), f0)
+    timed("  transpose(1,0,2)+minplus",
+          loop_i32(lambda f: edt_mod._minplus_pass(
+              f.transpose(1, 0, 2), t_fine).transpose(1, 0, 2)), f0)
+    timed("  transpose(2,1,0)+minplus",
+          loop_i32(lambda f: edt_mod._minplus_pass(
+              f.transpose(2, 1, 0), t_fine).transpose(2, 1, 0)), f0)
+
+    # ---- full tick for reference ----
+    @jax.jit
+    def tick(lo, hc, mc):
+        def body(i, carry):
+            lo_, hc_, mc_, acc = carry
+            st = dataclasses.replace(
+                state, logodds=lo_, hit_cnt=hc_, miss_cnt=mc_)
+            st2, stats = fused_batch_step.__wrapped__(
+                cfg, st, pts, vals, tfs, pos, method="scanline")
+            return (st2.logodds, st2.hit_cnt, st2.miss_cnt,
+                    acc + stats.num_observed)
+        _, _, _, acc = jax.lax.fori_loop(
+            0, R, body, (lo, hc, mc, jnp.int32(0)))
+        return acc
+    timed("FULL fused tick", tick, state.logodds, state.hit_cnt,
+          state.miss_cnt)
+
+
+if __name__ == "__main__":
+    main()
