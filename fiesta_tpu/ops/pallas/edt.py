@@ -82,21 +82,28 @@ def _minplus_pass_pallas(f: jax.Array, t: int,
     bl = 128
     rpad = -r % bl
     f2 = f.reshape(a, r)
-    fpad = jnp.pad(f2, ((t, t), (0, rpad)),
-                   constant_values=np.asarray(inf, dtype))
+    if rpad:
+        f2 = jnp.pad(f2, ((0, 0), (0, rpad)),
+                     constant_values=np.asarray(inf, dtype))
     rp = r + rpad
 
-    def kernel(fp_ref, out_ref):
+    def kernel(f_ref, out_ref, buf):
+        # window padding lives in VMEM scratch (an HBM-side jnp.pad would
+        # round-trip the whole volume once more per pass)
+        buf[pl.ds(0, t), :] = jnp.full((t, bl), inf, dtype)
+        buf[pl.ds(t + a, t), :] = jnp.full((t, bl), inf, dtype)
+        buf[pl.ds(t, a), :] = f_ref[:, :]
+
         # symmetric pairing: offsets +-k share one k^2 add (min of the two
         # shifted slabs first) — 3 VPU ops per pair instead of 4
         def body(k, acc):
-            lo = fp_ref[pl.ds(t - k, a), :]
-            hi = fp_ref[pl.ds(t + k, a), :]
+            lo = buf[pl.ds(t - k, a), :]
+            hi = buf[pl.ds(t + k, a), :]
             cost = (k * k).astype(dtype)
             return jnp.minimum(acc, jnp.minimum(lo, hi) + cost)
 
         out_ref[:, :] = jax.lax.fori_loop(
-            1, t + 1, body, fp_ref[pl.ds(t, a), :]
+            1, t + 1, body, buf[pl.ds(t, a), :]
         )
 
     out = pl.pallas_call(
@@ -104,18 +111,18 @@ def _minplus_pass_pallas(f: jax.Array, t: int,
         out_shape=jax.ShapeDtypeStruct((a, rp), dtype),
         grid=(rp // bl,),
         in_specs=[
-            pl.BlockSpec(
-                (a + 2 * t, bl), lambda j: (0, j), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec((a, bl), lambda j: (0, j),
+                         memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
             (a, bl), lambda j: (0, j), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((a + 2 * t, bl), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(fpad)
+    )(f2)
     return out[:, :r].reshape(a, m, l)
 
 
