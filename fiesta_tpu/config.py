@@ -274,6 +274,17 @@ COW_AND_LADY = FiestaConfig(
     vis_upper_bound=10.0,
 )
 
+# Dataset extrinsics the reference hardcodes for cow_and_lady
+# (src/parameters.cpp:67-75): T_D_B maps the depth-camera frame into the
+# vicon body frame; T_B_C is identity.  Applied to RECORDED pose streams
+# (synthetic replay renders from the sensor pose directly).
+COW_AND_LADY_T_D_B = (
+    (0.971048, -0.120915, 0.206023, 0.00114049),
+    (0.15701, 0.973037, -0.168959, 0.0450936),
+    (-0.180038, 0.196415, 0.96385, 0.0430765),
+    (0.0, 0.0, 0.0, 1.0),
+)
+
 # Preset matching launch/demo.launch (local-map mode, depth-image input).
 DEMO_ONBOARD = FiestaConfig(
     resolution=0.1,

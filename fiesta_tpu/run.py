@@ -51,6 +51,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="run an MPC plan against the final ESDF")
     p.add_argument("--ground-truth-check", action="store_true",
                    help="print the accuracy oracle report (debug C20)")
+    p.add_argument("--print-timing-every", type=int, default=0,
+                   help="print the timing table after every N ESDF updates "
+                        "(the reference prints after every one, Fiesta.h:521;"
+                        " 0 = only at the end)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX backend (the JAX_PLATFORMS env var is "
@@ -115,6 +119,12 @@ def main(argv=None) -> int:
         kind = "cloud"
 
     pipe = FiestaPipeline(cfg, method=args.method)
+    if args.preset == "cow_and_lady" and args.replay:
+        # recorded poses are vicon body poses; apply the dataset extrinsics
+        # the reference hardcodes (src/parameters.cpp:67-75)
+        from .config import COW_AND_LADY_T_D_B
+
+        pipe.T_D_B = np.asarray(COW_AND_LADY_T_D_B, np.float64)
     if args.resume:
         from . import checkpoint
 
@@ -138,6 +148,9 @@ def main(argv=None) -> int:
             stats = pipe.update()
             if stats is not None:
                 n_updates += 1
+                if (args.print_timing_every
+                        and n_updates % args.print_timing_every == 0):
+                    print(Timing.print_table(), file=sys.stderr)
     pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
     pipe.process()
     pipe.update()
