@@ -66,29 +66,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fiesta_tpu.ops.depth import pose_to_matrix
     from fiesta_tpu.pipeline import fused_batch_step
 
     t0 = time.perf_counter()
-    batches = []
-    for i in range(0, len(frames) - 2, 3):
-        trio = frames[i:i + 3]
-        pts, vals, tfs = [], [], []
-        for t, (pos, quat), scan in trio:
-            p, v = pipe.preload_cloud(scan)
-            pts.append(p)
-            vals.append(v)
-            tfs.append(pose_to_matrix(pos, quat))
-        batches.append((
-            jnp.stack(pts), jnp.stack(vals),
-            jnp.asarray(np.stack(tfs), jnp.float32),
-            jnp.asarray(trio[-1][1][0], jnp.float32),
-        ))
+    apts, avals, atfs, apos = replay.stage_update_batches(pipe, frames)
+    n_total = apts.shape[0]
+    # per-tick arg tuples materialized up front: the per-dispatch loop
+    # below must not contain eager slice ops (tunnel round trips)
+    batches = [(apts[i], avals[i], atfs[i], apos[i])
+               for i in range(n_total)]
     pipe.sync_device()
-    log(f"preloaded {len(batches)} batches in {time.perf_counter()-t0:.1f}s")
+    log(f"preloaded {n_total} batches in {time.perf_counter()-t0:.1f}s")
 
-    def tick(b):
-        pts, vals, tfs, pos = b
+    def tick(i):
+        pts, vals, tfs, pos = batches[i]
         pipe.state, stats = fused_batch_step(
             cfg, pipe.state, pts, vals, tfs, pos,
             use_window=not cfg.global_update, method="scanline",
@@ -99,7 +90,7 @@ def main():
     warm_batches = 4
     for i in range(warm_batches):
         ti = time.perf_counter()
-        stats = tick(batches[i])
+        stats = tick(i)
         pipe.sync_device()
         log(f"warm batch {i}: {time.perf_counter()-ti:.2f}s "
             f"observed={int(stats.num_observed)} "
@@ -111,10 +102,10 @@ def main():
     # end.  Includes per-tick host dispatch through the axon tunnel — an
     # artifact the online 10 Hz setting never sees (100 ms between ticks).
     pipe.sync_device()
-    n_batches = len(batches) - warm_batches
+    n_batches = n_total - warm_batches
     t_stream = time.perf_counter()
-    for i in range(warm_batches, len(batches)):
-        tick(batches[i])
+    for i in range(warm_batches, n_total):
+        tick(i)
     pipe.sync_device()
     dispatch_ms = 1e3 * (time.perf_counter() - t_stream) / n_batches
     log(f"per-dispatch stream: {n_batches} batches -> "
@@ -126,11 +117,10 @@ def main():
     # ticks (tests/test_pipeline.py::test_fused_stream_matches_sequential_ticks).
     from fiesta_tpu.pipeline import fused_stream
 
-    rest = batches[warm_batches:]
-    spts = jnp.stack([b[0] for b in rest])
-    svals = jnp.stack([b[1] for b in rest])
-    stfs = jnp.stack([b[2] for b in rest])
-    spos = jnp.stack([b[3] for b in rest])
+    spts = apts[warm_batches:]
+    svals = avals[warm_batches:]
+    stfs = atfs[warm_batches:]
+    spos = apos[warm_batches:]
 
     def stream_all(state):
         return fused_stream(

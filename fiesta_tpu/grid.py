@@ -57,7 +57,9 @@ class MapState:
     ESDFMap.cpp:268-270): each scan adds at most 1 hit and 2 misses per
     voxel, so uint8 holds >= 127 scans per tick — far beyond the
     reference's ~3 frames per 10 Hz drain — at 1/4 the HBM traffic of the
-    reference-matching int.
+    reference-matching int.  Accumulation is SATURATING at 255
+    (raycast._sat_add_u8), so pathological cadences degrade gracefully
+    instead of wrapping.
     """
 
     logodds: jax.Array

@@ -272,3 +272,43 @@ def make_sequence(
             scan = render_depth(world, cfg, transform, height, width)
         frames.append((t, (pos, quat), scan))
     return world, frames
+
+
+def stage_update_batches(pipe, frames, group: int = 3):
+    """Group a frame sequence into ESDF update batches and pre-stage the
+    device arrays the batched step functions consume.
+
+    The staging protocol (pad + upload each scan once, group ``group``
+    frames per 10 Hz tick, use the last frame's position as the tick's
+    robot position) is shared by bench.py, the stage profiler, and the
+    stream-equivalence test — one definition keeps them in lockstep.
+
+    Returns (points [N,K,P,3], valids [N,K,P], transforms [N,K,4,4],
+    positions [N,3]) for N = len(frames) // group ticks.  All staging runs
+    host-side (numpy) with ONE device upload per array — no per-frame
+    device dispatches (each eager op is a full tunnel round trip on the
+    bench platform, PERF.md).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.depth import pose_to_matrix
+
+    pts_n, val_n, tf_n, pos_n = [], [], [], []
+    n = (len(frames) // group) * group
+    for i in range(0, n, group):
+        batch = frames[i:i + group]
+        pts, vals, tfs = [], [], []
+        for _, (pos, quat), scan in batch:
+            p = np.ascontiguousarray(scan, np.float32)
+            p, v = pipe._pad_cloud_np(p, np.isfinite(p).all(axis=-1))
+            pts.append(p)
+            vals.append(v)
+            tfs.append(np.asarray(pose_to_matrix(pos, quat)))
+        pts_n.append(np.stack(pts))
+        val_n.append(np.stack(vals))
+        tf_n.append(np.stack(tfs))
+        pos_n.append(np.asarray(batch[-1][1][0]))
+    return (jnp.asarray(np.stack(pts_n), jnp.float32),
+            jnp.asarray(np.stack(val_n)),
+            jnp.asarray(np.stack(tf_n), jnp.float32),
+            jnp.asarray(np.stack(pos_n), jnp.float32))

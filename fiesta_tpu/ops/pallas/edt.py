@@ -89,9 +89,13 @@ def _minplus_pass_pallas(f: jax.Array, t: int,
 
     def kernel(f_ref, out_ref, buf):
         # window padding lives in VMEM scratch (an HBM-side jnp.pad would
-        # round-trip the whole volume once more per pass)
-        buf[pl.ds(0, t), :] = jnp.full((t, bl), inf, dtype)
-        buf[pl.ds(t + a, t), :] = jnp.full((t, bl), inf, dtype)
+        # round-trip the whole volume once more per pass); the constant
+        # inf pads persist across grid steps, fill them once
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            buf[pl.ds(0, t), :] = jnp.full((t, bl), inf, dtype)
+            buf[pl.ds(t + a, t), :] = jnp.full((t, bl), inf, dtype)
+
         buf[pl.ds(t, a), :] = f_ref[:, :]
 
         # symmetric pairing: offsets +-k share one k^2 add (min of the two
@@ -159,9 +163,13 @@ def _binary_pass_pallas(f: jax.Array, t: int,
     rp = r + rpad
 
     def kernel(f_ref, out_ref, buf):
-        buf[pl.ds(0, pad), :] = jnp.full((pad, bl), _INF_EDT, jnp.int32)
-        buf[pl.ds(pad + a, pad), :] = jnp.full((pad, bl), _INF_EDT,
-                                               jnp.int32)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            buf[pl.ds(0, pad), :] = jnp.full((pad, bl), _INF_EDT,
+                                             jnp.int32)
+            buf[pl.ds(pad + a, pad), :] = jnp.full((pad, bl), _INF_EDT,
+                                                   jnp.int32)
+
         buf[pl.ds(pad, a), :] = f_ref[:, :]
         for sh in shifts:
             g = buf[pl.ds(pad, a), :]

@@ -117,13 +117,23 @@ def _endpoint_masks(cfg: FiestaConfig, clipped, valid, is_hit, win):
     return hit_m.reshape(cfg.grid_shape), epfree_m.reshape(cfg.grid_shape)
 
 
+def _sat_add_u8(cnt, inc):
+    """Saturating uint8 add: counters pin at 255 instead of wrapping when
+    more than ~127 scans accumulate between fusion drains (each scan adds
+    at most 1 hit / 2 misses per voxel).  Saturation degrades gracefully:
+    ``observed = miss > 0`` stays true and the hit/miss vote keeps its
+    sign for any mix of saturated counters."""
+    inc = inc.astype(cnt.dtype)
+    return jnp.where(cnt > jnp.uint8(255) - inc, jnp.uint8(255), cnt + inc)
+
+
 def _apply_counts(hit_cnt, miss_cnt, hit_m, epfree_m, pathfree_m):
     dt = hit_cnt.dtype  # counters are uint8 (see grid.MapState)
     hit_d = hit_m.astype(dt)
     ep_d = epfree_m.astype(dt)
     path_d = pathfree_m.astype(dt)
-    hit_cnt = hit_cnt + hit_d
-    miss_cnt = miss_cnt + jnp.maximum(hit_d, ep_d) + path_d
+    hit_cnt = _sat_add_u8(hit_cnt, hit_d)
+    miss_cnt = _sat_add_u8(miss_cnt, jnp.maximum(hit_d, ep_d) + path_d)
     return hit_cnt, miss_cnt
 
 
@@ -649,10 +659,10 @@ def integrate_scan_scanline_batch(
         s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]
         reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), box)
         hit_cnt = jax.lax.dynamic_update_slice(
-            hit_cnt, reg + hitc[i].astype(reg.dtype), (s0, s1, s2))
+            hit_cnt, _sat_add_u8(reg, hitc[i]), (s0, s1, s2))
         reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), box)
         miss_cnt = jax.lax.dynamic_update_slice(
-            miss_cnt, reg + missc[i].astype(reg.dtype), (s0, s1, s2))
+            miss_cnt, _sat_add_u8(reg, missc[i]), (s0, s1, s2))
     return ScanResult(hit_cnt, miss_cnt, n_rays, n_endpoints)
 
 
@@ -738,11 +748,11 @@ def integrate_scan_scanline(
     )
     s0, s1, s2 = starts[0], starts[1], starts[2]
     hit_reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), (bx, by, bz))
-    hit_cnt = jax.lax.dynamic_update_slice(hit_cnt, hit_reg + hitc,
-                                           (s0, s1, s2))
+    hit_cnt = jax.lax.dynamic_update_slice(
+        hit_cnt, _sat_add_u8(hit_reg, hitc), (s0, s1, s2))
     miss_reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), (bx, by, bz))
-    miss_cnt = jax.lax.dynamic_update_slice(miss_cnt, miss_reg + missc,
-                                            (s0, s1, s2))
+    miss_cnt = jax.lax.dynamic_update_slice(
+        miss_cnt, _sat_add_u8(miss_reg, missc), (s0, s1, s2))
     return ScanResult(
         hit_cnt,
         miss_cnt,

@@ -297,7 +297,7 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         at = (ls + bx, start[1], start[2])
         reg = jax.lax.dynamic_slice(padded, at, (bx, by, bz))
         padded = jax.lax.dynamic_update_slice(
-            padded, reg + boxc.astype(reg.dtype), at)
+            padded, raycast._sat_add_u8(reg, boxc), at)
         return padded[bx:bx + lx]
 
     def local_fn(logodds, seen, hit_cnt, miss_cnt, d2, closest,

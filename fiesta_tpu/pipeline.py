@@ -378,7 +378,8 @@ class FiestaPipeline:
         t_wb = np.asarray(pose_to_matrix(pos, quat))
         return t_wb @ self.T_D_B @ self.T_B_C    # Fiesta.h:419
 
-    def _pad_cloud(self, pts: np.ndarray, valid: np.ndarray):
+    def _pad_cloud_np(self, pts: np.ndarray, valid: np.ndarray):
+        """Host-side pad/subsample to the static scan size."""
         n = self.cfg.max_points_per_scan
         if pts.shape[0] > n:
             # keep a deterministic subsample (strided) to the static size
@@ -388,6 +389,10 @@ class FiestaPipeline:
         if pad:
             pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
             valid = np.concatenate([valid, np.zeros(pad, bool)])
+        return pts, valid
+
+    def _pad_cloud(self, pts: np.ndarray, valid: np.ndarray):
+        pts, valid = self._pad_cloud_np(pts, valid)
         return jnp.asarray(pts, jnp.float32), jnp.asarray(valid)
 
     def process(self) -> int:

@@ -44,7 +44,6 @@ def main():
     from fiesta_tpu import COW_AND_LADY
     from fiesta_tpu.io import replay
     from fiesta_tpu.ops import fusion, raycast
-    from fiesta_tpu.ops.depth import pose_to_matrix
     from fiesta_tpu.ops.pallas import edt as edt_mod
     from fiesta_tpu.pipeline import FiestaPipeline, fused_batch_step
 
@@ -58,17 +57,8 @@ def main():
         height=h, width=w, period=12.0, orbit_radius=5.0,
     )
     pipe = FiestaPipeline(cfg, method="scanline")
-    trio = frames[:3]
-    pts, vals, tfs = [], [], []
-    for t, (pos, quat), scan in trio:
-        p, v = pipe.preload_cloud(scan)
-        pts.append(p)
-        vals.append(v)
-        tfs.append(pose_to_matrix(pos, quat))
-    pts = jnp.stack(pts)
-    vals = jnp.stack(vals)
-    tfs = jnp.asarray(np.stack(tfs), jnp.float32)
-    pos = jnp.asarray(trio[-1][1][0], jnp.float32)
+    apts, avals, atfs, apos = replay.stage_update_batches(pipe, frames)
+    pts, vals, tfs, pos = apts[0], avals[0], atfs[0], apos[0]
 
     # settle the map so occupancy is realistic
     for i in range(0, 6, 3):

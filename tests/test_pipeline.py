@@ -166,9 +166,6 @@ def test_local_window_update_mode():
 def test_fused_stream_matches_sequential_ticks():
     """The on-device scan executor evolves state bit-identically to N
     separate fused_batch_step dispatches."""
-    import jax.numpy as jnp
-
-    from fiesta_tpu.ops.depth import pose_to_matrix
     from fiesta_tpu.pipeline import fused_batch_step, fused_stream
 
     cfg = SMALL
@@ -176,36 +173,20 @@ def test_fused_stream_matches_sequential_ticks():
         cfg, n_frames=9, n_boxes=6, seed=3, kind="cloud"
     )
     pipe = FiestaPipeline(cfg, method="scanline")
-    batches = []
-    for i in range(0, 9, 3):
-        trio = frames[i:i + 3]
-        pts, vals, tfs = [], [], []
-        for t, (pos, quat), scan in trio:
-            p, v = pipe.preload_cloud(scan)
-            pts.append(p)
-            vals.append(v)
-            tfs.append(pose_to_matrix(pos, quat))
-        batches.append((
-            jnp.stack(pts), jnp.stack(vals),
-            jnp.asarray(np.stack(tfs), jnp.float32),
-            jnp.asarray(trio[-1][1][0], jnp.float32),
-        ))
+    apts, avals, atfs, apos = replay.stage_update_batches(pipe, frames)
 
     seq_state = pipe.state
     seq_stats = []
-    for pts, vals, tfs, pos in batches:
+    for i in range(apts.shape[0]):
         seq_state, st = fused_batch_step(
-            cfg, seq_state, pts, vals, tfs, pos, method="scanline"
+            cfg, seq_state, apts[i], avals[i], atfs[i], apos[i],
+            method="scanline"
         )
         seq_stats.append(st)
 
     from fiesta_tpu.grid import make_state
     stream_state, stream_stats = fused_stream(
-        cfg, make_state(cfg),
-        jnp.stack([b[0] for b in batches]),
-        jnp.stack([b[1] for b in batches]),
-        jnp.stack([b[2] for b in batches]),
-        jnp.stack([b[3] for b in batches]),
+        cfg, make_state(cfg), apts, avals, atfs, apos,
         method="scanline",
     )
 
