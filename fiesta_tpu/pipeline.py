@@ -225,6 +225,79 @@ def fused_batch_step(
                                    max_iters=max_iters)
 
 
+@partial(jax.jit, static_argnames=("cfg", "use_window", "use_filter",
+                                   "max_iters"),
+         donate_argnames=("state",))
+def fused_depth_batch_step(
+    cfg: FiestaConfig,
+    state: MapState,
+    depths: jax.Array,       # [K, H, W] f32 meters
+    transforms: jax.Array,   # [K, 4, 4] camera-to-world
+    prev_depth: jax.Array,   # [H, W] previous frame (filter chain)
+    prev_transform: jax.Array,   # [4, 4]
+    cur_pos: jax.Array,      # [3]
+    use_window: bool = False,
+    use_filter: bool = True,
+    max_iters: int = 0,
+) -> Tuple[MapState, UpdateStats]:
+    """Depth-image-mode ESDF tick as ONE device program: K depth frames
+    are back-projected + consistency-filtered (C12/C13) against their
+    chained predecessors, then carved/fused/EDT'd exactly like the cloud
+    tick.  ``prev_depth``/``prev_transform`` seed the filter chain (pass
+    the previous tick's last frame; for the very first tick pass the
+    first frame itself — self-agreement keeps it, a one-frame divergence
+    from the reference's drop-first-frame behavior, Fiesta.h:353)."""
+    k = depths.shape[0]
+    pts, vals = [], []
+    ld, lt = prev_depth, prev_transform
+    for i in range(k):
+        p, v = depth_to_cloud.__wrapped__(
+            cfg, depths[i], transforms[i], lt, ld, use_filter=use_filter)
+        pts.append(p)
+        vals.append(v)
+        ld, lt = depths[i], transforms[i]
+    points = jnp.stack(pts)
+    valids = jnp.stack(vals)
+    return fused_batch_step.__wrapped__(
+        cfg, state, points, valids, transforms, cur_pos,
+        use_window=use_window, method="scanline", max_iters=max_iters,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_window", "use_filter",
+                                   "max_iters"),
+         donate_argnames=("state",))
+def fused_depth_stream(
+    cfg: FiestaConfig,
+    state: MapState,
+    depths: jax.Array,       # [N, K, H, W]
+    transforms: jax.Array,   # [N, K, 4, 4]
+    cur_positions: jax.Array,  # [N, 3]
+    use_window: bool = False,
+    use_filter: bool = True,
+    max_iters: int = 0,
+) -> Tuple[MapState, UpdateStats]:
+    """N depth-mode ticks as one device program (``lax.scan``), chaining
+    the consistency filter across tick boundaries.  The depth-image twin
+    of ``fused_stream``."""
+
+    def body(carry, inp):
+        st, pd, ptf = carry
+        d, tf, pos = inp
+        st, stats = fused_depth_batch_step.__wrapped__(
+            cfg, st, d, tf, pd, ptf, pos,
+            use_window=use_window, use_filter=use_filter,
+            max_iters=max_iters,
+        )
+        return (st, d[-1], tf[-1]), stats
+
+    (state, _, _), stats = jax.lax.scan(
+        body, (state, depths[0, 0], transforms[0, 0]),
+        (depths, transforms, cur_positions),
+    )
+    return state, stats
+
+
 @partial(jax.jit, static_argnames=("cfg", "method", "use_window",
                                    "max_iters"),
          donate_argnames=("state",))

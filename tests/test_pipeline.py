@@ -199,3 +199,62 @@ def test_fused_stream_matches_sequential_ticks():
     for i, st in enumerate(seq_stats):
         assert int(st.num_inserted) == int(stream_stats.num_inserted[i])
         assert int(st.num_observed) == int(stream_stats.num_observed[i])
+
+
+def test_fused_depth_tick_and_stream():
+    """Depth-mode fused tick == manual depth_to_cloud + cloud tick; the
+    depth stream chains the consistency filter across tick boundaries."""
+    import jax.numpy as jnp
+
+    from fiesta_tpu.grid import make_state
+    from fiesta_tpu.ops.depth import depth_to_cloud, pose_to_matrix
+    from fiesta_tpu.pipeline import (
+        fused_batch_step, fused_depth_batch_step, fused_depth_stream)
+
+    cfg = SMALL
+    world, frames = replay.make_sequence(
+        cfg, n_frames=6, n_boxes=6, seed=3, kind="depth"
+    )
+    depths = jnp.asarray(
+        np.stack([f[2] for f in frames]), jnp.float32).reshape(2, 3, *frames[0][2].shape)
+    tfs = jnp.asarray(
+        np.stack([pose_to_matrix(*f[1]) for f in frames]),
+        jnp.float32).reshape(2, 3, 4, 4)
+    poss = jnp.asarray(
+        np.stack([frames[2][1][0], frames[5][1][0]]), jnp.float32)
+
+    # manual composition for tick 0 (filter chain seeded with frame 0)
+    ld, lt = depths[0, 0], tfs[0, 0]
+    pts, vals = [], []
+    for i in range(3):
+        p, v = depth_to_cloud(cfg, depths[0, i], tfs[0, i], lt, ld,
+                              use_filter=True)
+        pts.append(p)
+        vals.append(v)
+        ld, lt = depths[0, i], tfs[0, i]
+    ref_state, ref_stats = fused_batch_step(
+        cfg, make_state(cfg), jnp.stack(pts), jnp.stack(vals), tfs[0],
+        poss[0], method="scanline")
+
+    got_state, got_stats = fused_depth_batch_step(
+        cfg, make_state(cfg), depths[0], tfs[0], depths[0, 0], tfs[0, 0],
+        poss[0])
+    np.testing.assert_array_equal(np.asarray(ref_state.logodds),
+                                  np.asarray(got_state.logodds))
+    np.testing.assert_array_equal(np.asarray(ref_state.d2),
+                                  np.asarray(got_state.d2))
+    assert int(ref_stats.num_observed) == int(got_stats.num_observed)
+
+    # stream == sequential depth ticks with chained prev frame
+    st_seq = got_state
+    st_seq, stats1 = fused_depth_batch_step(
+        cfg, st_seq, depths[1], tfs[1], depths[0, -1], tfs[0, -1], poss[1])
+
+    st_stream, stream_stats = fused_depth_stream(
+        cfg, make_state(cfg), depths, tfs, poss)
+    np.testing.assert_array_equal(np.asarray(st_seq.logodds),
+                                  np.asarray(st_stream.logodds))
+    np.testing.assert_array_equal(np.asarray(st_seq.d2),
+                                  np.asarray(st_stream.d2))
+    assert int(stream_stats.num_observed[1]) == int(stats1.num_observed)
+    assert int(np.asarray(st_stream.seen).sum()) > 0
