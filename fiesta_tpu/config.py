@@ -184,12 +184,13 @@ class FiestaConfig:
     # Exact-EDT radius (meters) in rebuild mode; between edt_fine_dist and
     # trunc_dist a half-resolution far field is used (error <= 1 coarse
     # voxel = 2*resolution).  Set >= trunc_dist to disable the hierarchy.
-    # Default 1.2 m: exact through any realistic collision margin, and the
-    # far-field quantization (<= 0.1 m at cow_and_lady resolution) stays
-    # below the reference BFS's own measured overestimate (0.1-0.2 m,
-    # ESDFMap.cpp:940-975) — strictly more accurate than the reference at
-    # every range, at 40% less window-pass cost than a 2 m boundary.
-    edt_fine_dist: float = 1.2
+    # Lowering this trades far-field accuracy for window-pass cost (the
+    # far-field quantization stays below the reference BFS's own measured
+    # overestimate down to ~1 m, ESDFMap.cpp:940-975), but at current
+    # kernel per-call overheads the measured saving is small (~0.15 ms per
+    # tick for 2.0 -> 1.2 at cow scale), so the default keeps the stronger
+    # accuracy contract.
+    edt_fine_dist: float = 2.0
     # Rays are padded to this many points per scan (static shapes under jit).
     max_points_per_scan: int = 65536
     # Max DDA steps per ray; 0 => derive from max_ray_length / resolution.
