@@ -129,19 +129,24 @@ def main():
         )
 
     # compile pass (state donated: keep a copy protocol — rebuild stream
-    # inputs each call; warm once, then measure)
+    # inputs each call; warm once, then measure).  The tunnel adds
+    # +-0.4 ms of run-to-run jitter; report the median of 3 full streams.
     st, _ = stream_all(pipe.state)
     jax.block_until_ready(st.d2)
-    t_stream = time.perf_counter()
-    st, stats = stream_all(st)
-    jax.block_until_ready(st.d2)
-    stream_s = time.perf_counter() - t_stream
+    reps = []
+    for _ in range(3):
+        t_stream = time.perf_counter()
+        st, stats = stream_all(st)
+        jax.block_until_ready(st.d2)
+        reps.append(time.perf_counter() - t_stream)
     pipe.state = st
+    stream_s = sorted(reps)[1]
 
     batch_ms = 1e3 * stream_s / n_batches
-    log(f"steady stream: {n_batches} fused update batches (3 scans each) "
-        f"in {stream_s*1e3:.1f} ms -> {batch_ms:.2f} ms/batch, "
-        f"{batch_ms/3:.2f} ms/frame "
+    log(f"steady stream: {n_batches} fused update batches (3 scans each), "
+        f"median of {len(reps)} reps "
+        f"{[round(r * 1e3, 1) for r in reps]} ms -> "
+        f"{batch_ms:.2f} ms/batch, {batch_ms/3:.2f} ms/frame "
         f"(last tick observed={int(stats.num_observed[-1])})")
     log(Timing.print_table())
 
