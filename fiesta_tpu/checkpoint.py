@@ -23,23 +23,32 @@ _FIELDS = ("logodds", "d2", "closest", "seen", "hit_cnt", "miss_cnt")
 
 
 def save(path: str, cfg: FiestaConfig, state: MapState) -> None:
-    """Write state + config; atomic via rename."""
+    """Write state + config as ONE file, atomic via rename (the config is
+    embedded in the npz so a crash can never pair new arrays with a stale
+    config).  A human-readable JSON sidecar is also written, best-effort."""
     tmp = path + ".tmp"
     arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
-    np.savez_compressed(tmp, **arrays)
-    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
-    with open(path + ".json", "w") as fh:
+    cfg_json = json.dumps(dataclasses.asdict(cfg))
+    np.savez_compressed(tmp, __config__=np.asarray(cfg_json), **arrays)
+    os.replace(tmp + ".npz", path)  # savez appends ".npz" to tmp
+
+    tmp_json = path + ".json.tmp"
+    with open(tmp_json, "w") as fh:
         json.dump(dataclasses.asdict(cfg), fh, indent=1)
+    os.replace(tmp_json, path + ".json")
 
 
 def load(path: str) -> Tuple[FiestaConfig, MapState]:
     """Load a checkpoint written by ``save``."""
-    with open(path + ".json") as fh:
-        raw = json.load(fh)
+    data = np.load(path)
+    if "__config__" in data:
+        raw = json.loads(str(data["__config__"]))
+    else:  # older checkpoints: sidecar only
+        with open(path + ".json") as fh:
+            raw = json.load(fh)
     for k in ("origin", "map_size", "radius"):
         raw[k] = tuple(raw[k])
     cfg = FiestaConfig(**raw)
-    data = np.load(path)
     state = MapState(**{f: jnp.asarray(data[f]) for f in _FIELDS})
     expect = cfg.grid_shape
     if tuple(state.logodds.shape) != expect:

@@ -266,6 +266,11 @@ class FiestaConfig:
         if not (0 < self.p_min < self.p_miss < 0.5 < self.p_hit < self.p_max < 1):
             raise ValueError("occupancy probabilities must satisfy "
                              "0 < p_min < p_miss < 0.5 < p_hit < p_max < 1")
+        if self.max_ray_length + self.resolution >= 1000.0:
+            raise ValueError(
+                "max_ray_length must stay below ~1000 m: the carve seed "
+                "packing encodes class*1000 + range "
+                "(ops/raycast._scanline_seeds)")
         return self
 
 

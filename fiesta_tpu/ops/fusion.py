@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FiestaConfig
-from ..grid import occupied_grid
+from ..grid import occupied_grid, vox_in_grid, vox_to_idx
 
 
 class FusionResult(NamedTuple):
@@ -98,12 +98,19 @@ def set_occupancy_direct(
     Returns (new_logodds, insert_mask, delete_mask).
     """
     gx, gy, gz = cfg.grid_shape
-    valid = jnp.all((vox >= 0) & (vox < jnp.array([gx, gy, gz])), axis=-1)
-    lin = vox[:, 0] * (gy * gz) + vox[:, 1] * gz + vox[:, 2]
+    valid = vox_in_grid(cfg, vox)
     # high sentinel: mode="drop" drops out-of-bounds, but -1 would wrap
-    lin = jnp.where(valid, lin, gx * gy * gz)
+    lin = jnp.where(valid, vox_to_idx(cfg, vox), gx * gy * gz)
+    # "later writes win" must be deterministic; scatter-set with duplicate
+    # indices is not, so pack (write order, occ) and take the max — the
+    # highest order index (= latest write) decides the voxel
+    order = jnp.arange(occ.shape[0], dtype=jnp.int32)
+    packed = jnp.full((gx * gy * gz,), -1, jnp.int32).at[lin].max(
+        order * 2 + occ.astype(jnp.int32), mode="drop"
+    )
     flat = logodds.reshape(-1)
-    new_flat = flat.at[lin].set(occ.astype(jnp.float32), mode="drop")
+    new_flat = jnp.where(packed >= 0, (packed & 1).astype(jnp.float32),
+                         flat)
     new_lo = new_flat.reshape(logodds.shape)
     occ_before = occupied_grid(cfg, logodds)
     occ_after = occupied_grid(cfg, new_lo)

@@ -60,6 +60,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FiestaConfig
+from ..grid import pos_to_vox, vox_in_grid, vox_to_idx
 from ..grid import window_mask as make_window_mask
 
 _F32_INF = jnp.float32(jnp.inf)
@@ -94,13 +95,12 @@ def _prep_rays(cfg: FiestaConfig, points, valid, origin):
 def _endpoint_masks(cfg: FiestaConfig, clipped, valid, is_hit, win):
     """Scatter endpoint observations into dedup masks (hit wins ties)."""
     gx, gy, gz = cfg.grid_shape
-    origin = jnp.asarray(cfg.origin, jnp.float32)
-    vox = jnp.floor((clipped - origin) / cfg.resolution).astype(jnp.int32)
-    in_grid = jnp.all((vox >= 0) & (vox < jnp.array([gx, gy, gz])), axis=-1)
+    vox = pos_to_vox(cfg, clipped)
+    in_grid = vox_in_grid(cfg, vox)
     if win is not None:
         min_vec, max_vec = win
         in_grid = in_grid & jnp.all((vox >= min_vec) & (vox <= max_vec), axis=-1)
-    lin = vox[..., 0] * (gy * gz) + vox[..., 1] * gz + vox[..., 2]
+    lin = vox_to_idx(cfg, vox)
 
     # NB: dropped entries use an out-of-bounds HIGH sentinel — negative
     # indices would wrap (NumPy semantics) instead of dropping.
@@ -215,8 +215,8 @@ def integrate_scan_dda(
         clen2 = jnp.sum((center - origin[None]) ** 2, axis=-1)
         gate = (clen2 >= min2) & (clen2 <= max2)      # Fiesta.h:242-246
 
-        mv = jnp.floor((center - map_origin[None]) / res).astype(jnp.int32)
-        in_grid = jnp.all((mv >= 0) & (mv < jnp.array([gx, gy, gz])), axis=-1)
+        mv = pos_to_vox(cfg, center)
+        in_grid = vox_in_grid(cfg, mv)
         if window is not None:
             in_grid = in_grid & jnp.all((mv >= wmin) & (mv <= wmax), axis=-1)
 
@@ -226,7 +226,7 @@ def integrate_scan_dda(
         emitted = alive & in_aabb
         mark = jnp.where(emitted, prev_lin, n)   # high sentinel: dropped
         free_flat = free_flat.at[mark].max(jnp.uint8(1), mode="drop")
-        lin = mv[..., 0] * (gy * gz) + mv[..., 1] * gz + mv[..., 2]
+        lin = vox_to_idx(cfg, mv)
         markable = gate & in_grid
         prev_lin = jnp.where(emitted, jnp.where(markable, lin, n), prev_lin)
 
@@ -558,11 +558,10 @@ def _scanline_seeds(cfg: FiestaConfig, points, valid, origin):
     po_box = po_grid - starts.astype(jnp.float32)
 
     # Endpoint voxels in box coordinates.
-    vox = jnp.floor((clipped - map_origin) / cfg.resolution).astype(jnp.int32)
+    vox = pos_to_vox(cfg, clipped)
     vb = vox - starts
     in_box = jnp.all((vb >= 0) & (vb < jnp.array([bx, by, bz])), axis=-1)
-    in_grid = jnp.all((vox >= 0) & (vox < jnp.array([gx, gy, gz])), axis=-1)
-    inside = in_box & in_grid
+    inside = in_box & vox_in_grid(cfg, vox)
 
     # Box-exit clip for rays leaving the box: standard slab exit parameter
     # along the (max-ray-clipped) ray, shrunk half a voxel so the seed
@@ -577,8 +576,7 @@ def _scanline_seeds(cfg: FiestaConfig, points, valid, origin):
     ulen = jnp.linalg.norm(u, axis=-1)
     exit_dist = s_exit * ulen - 0.5 * cfg.resolution
     exit_pt = origin + u * (exit_dist / jnp.maximum(ulen, 1e-9))[..., None]
-    evox = jnp.floor(
-        (exit_pt - map_origin) / cfg.resolution).astype(jnp.int32)
+    evox = pos_to_vox(cfg, exit_pt)
     evb = jnp.clip(evox - starts, 0, jnp.array([bx - 1, by - 1, bz - 1]))
 
     # ONE packed scatter carries class AND carve range W:

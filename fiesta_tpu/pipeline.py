@@ -352,10 +352,15 @@ class ScanSynchronizer:
     with no matching pose are dropped (Fiesta.h:388-405).
     """
 
-    def __init__(self, time_delay: float = 3e-3):
+    def __init__(self, time_delay: float = 3e-3,
+                 max_queue: int = 10000):
+        """``max_queue`` bounds both queues so a stalled sensor stream
+        cannot grow memory without bound (the reference's ROS subscribers
+        use queue_size=10, Fiesta.h:115-116; poses are ~100 Hz so 10k is
+        ~100 s of history)."""
         self.time_delay = time_delay
-        self.poses: deque = deque()   # (t, pos, quat)
-        self.depths: deque = deque()  # (t, payload)
+        self.poses: deque = deque(maxlen=max_queue)   # (t, pos, quat)
+        self.depths: deque = deque(maxlen=max_queue)  # (t, payload)
 
     def push_pose(self, t: float, pos, quat_wxyz) -> None:
         self.poses.append((float(t), np.asarray(pos, np.float64),
@@ -468,6 +473,20 @@ class FiestaPipeline:
         pts, valid = self._pad_cloud_np(pts, valid)
         return jnp.asarray(pts, jnp.float32), jnp.asarray(valid)
 
+    def _pad_cloud_dev(self, pts: jax.Array, valid: jax.Array):
+        """Device-side twin of ``_pad_cloud`` for clouds that already live
+        on device (the depth path) — no host round trip."""
+        n = self.cfg.max_points_per_scan
+        if pts.shape[0] > n:
+            stride = -(-pts.shape[0] // n)
+            pts, valid = pts[::stride][:n], valid[::stride][:n]
+        pad = n - pts.shape[0]
+        if pad:
+            pts = jnp.concatenate(
+                [pts, jnp.zeros((pad, 3), jnp.float32)])
+            valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+        return pts, valid
+
     def process(self) -> int:
         """Drain synchronized frames through conversion + integration.
 
@@ -512,9 +531,9 @@ class FiestaPipeline:
                     self.last_depth = data
                     if self.image_cnt == 1 and cfg.use_depth_filter:
                         continue  # first frame yields nothing (Fiesta.h:353)
-                pts_j, valid_j = self._pad_cloud(
-                    np.asarray(pts_cam), np.asarray(valid)
-                )
+                # pts_cam/valid are device arrays with static shape: pad on
+                # device (a host round trip here costs a full tunnel RTT)
+                pts_j, valid_j = self._pad_cloud_dev(pts_cam, valid)
             elif isinstance(data, tuple):      # pre-uploaded device pair
                 pts_j, valid_j = data
             else:

@@ -98,8 +98,7 @@ def trajectory_cost(
     return mpc.w_collision * collision + goal_cost + terminal + effort
 
 
-@partial(jax.jit, static_argnames=("cfg", "mpc"))
-def plan_step(
+def _plan_step_impl(
     cfg: FiestaConfig,
     mpc: MPCConfig,
     dist_grid: jax.Array,
@@ -108,6 +107,7 @@ def plan_step(
     goal: jax.Array,
     nominal: jax.Array,
     key: jax.Array,
+    constrain=None,
 ) -> PlanResult:
     """One MPC solve: MPPI sampling + ESDF-gradient refinement.
 
@@ -116,6 +116,9 @@ def plan_step(
       p0, v0, goal: [3] current position/velocity and goal position.
       nominal: [H,3] warm-start control sequence (previous plan shifted).
       key: PRNG key.
+      constrain: optional fn applying a sharding constraint to the
+        rollout-batched arrays (scenario parallelism; see
+        ``make_sharded_planner``).
     """
     h = mpc.horizon
 
@@ -124,7 +127,11 @@ def plan_step(
         jax.random.normal(key, (mpc.n_rollouts, h, 3), jnp.float32)
         * mpc.sigma
     )
+    if constrain is not None:
+        noise = constrain(noise)
     samples = jnp.clip(nominal[None] + noise, -mpc.a_max, mpc.a_max)
+    if constrain is not None:
+        samples = constrain(samples)
 
     def sample_cost(ctrl):
         pos = rollout_positions(mpc, p0, v0, ctrl)
@@ -179,6 +186,21 @@ def plan_step(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "mpc"))
+def plan_step(
+    cfg: FiestaConfig,
+    mpc: MPCConfig,
+    dist_grid: jax.Array,
+    p0: jax.Array,
+    v0: jax.Array,
+    goal: jax.Array,
+    nominal: jax.Array,
+    key: jax.Array,
+) -> PlanResult:
+    """Single-device MPC solve (see ``_plan_step_impl``)."""
+    return _plan_step_impl(cfg, mpc, dist_grid, p0, v0, goal, nominal, key)
+
+
 def shift_nominal(controls: jax.Array) -> jax.Array:
     """Receding-horizon warm start: drop the executed step, repeat the last."""
     return jnp.concatenate([controls[1:], controls[-1:]], axis=0)
@@ -196,17 +218,22 @@ def make_sharded_planner(cfg: FiestaConfig, mpc: MPCConfig, mesh):
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    rollout_sharding = NamedSharding(mesh, P("x"))
+    axis = mesh.axis_names[0]
+    rollout_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
+    assert mpc.n_rollouts % mesh.devices.size == 0, (
+        "n_rollouts must divide by the mesh size")
 
-    def fn(dist_grid, p0, v0, goal, nominal, key):
-        return plan_step(cfg, mpc, dist_grid, p0, v0, goal, nominal, key)
+    def constrain(x):
+        # rollout-batched arrays split on K; GSPMD turns the softmax
+        # normalization and the weighted control einsum into psums
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
 
     def sharded(dist_grid, p0, v0, goal, nominal, key):
-        dist_grid = jax.device_put(dist_grid, replicated)
-        return fn(dist_grid, p0, v0, goal, nominal, key)
+        dist_grid = jax.lax.with_sharding_constraint(dist_grid, replicated)
+        return _plan_step_impl(cfg, mpc, dist_grid, p0, v0, goal, nominal,
+                               key, constrain=constrain)
 
-    # GSPMD partitions the vmapped rollouts along K automatically once the
-    # noise array is sharded; constrain it via out_sharding on the key ops.
     del rollout_sharding
     return jax.jit(sharded)

@@ -100,11 +100,27 @@ def main(argv=None) -> int:
     if args.replay:
         data = np.load(args.replay)
         ts = data["t"]
+        if len(ts) == 0:
+            raise SystemExit(f"replay {args.replay} contains no frames")
+        kind = "cloud" if "clouds" in data else "depth"
+        if kind == "depth":
+            # recorded depth resolution overrides the preset's: intrinsics
+            # must match the actual image grid or back-projection is
+            # silently wrong
+            h2, w2 = data["depths"].shape[1:]
+            if (h2, w2) != (h, w):
+                from .io.replay import scale_intrinsics
+
+                cfg = dataclasses.replace(
+                    scale_intrinsics(cfg, h2, w2,
+                                     base_height=h, base_width=w),
+                    max_points_per_scan=int(h2) * int(w2),
+                )
+                h, w = h2, w2
         frames = []
         for i in range(len(ts)):
             scan = (data["clouds"][i] if "clouds" in data
                     else data["depths"][i])
-            kind = "cloud" if "clouds" in data else "depth"
             frames.append(
                 (float(ts[i]), (data["pos"][i], data["quat"][i]), scan)
             )
