@@ -149,6 +149,19 @@ def main(argv=None) -> int:
             raise SystemExit("checkpoint grid does not match preset")
         pipe.state = state
 
+    viz_dir = args.viz_dir
+    if viz_dir:
+        import os
+
+        os.makedirs(viz_dir, exist_ok=True)
+
+    def dump_slice(tag: str) -> None:
+        from . import viz
+
+        img = viz.slice_image(cfg, pipe.state)
+        np.savez_compressed(
+            os.path.join(viz_dir, f"slice_{tag}.npz"), rgb=img)
+
     t_start = time.perf_counter()
     n_updates = 0
     for i, (t, (pos, quat), scan) in enumerate(frames):
@@ -167,6 +180,11 @@ def main(argv=None) -> int:
                 if (args.print_timing_every
                         and n_updates % args.print_timing_every == 0):
                     print(Timing.print_table(), file=sys.stderr)
+                # periodic visualization (reference cadence:
+                # visualize_every_n_updates, Fiesta.h:531-534)
+                if (viz_dir and cfg.visualize_every_n_updates
+                        and n_updates % cfg.visualize_every_n_updates == 0):
+                    dump_slice(f"{n_updates:05d}")
     pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
     pipe.process()
     pipe.update()
