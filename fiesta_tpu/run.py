@@ -35,6 +35,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--preset", choices=["cow_and_lady", "demo", "small"],
                    default="small")
     p.add_argument("--replay", help="recorded .npz sequence to replay")
+    p.add_argument("--bag", help="ROS bag (format 2.0) to replay — the "
+                                 "reference's own input format "
+                                 "(rosbag play, README.md:88-96)")
+    p.add_argument("--bag-info", action="store_true",
+                   help="print the bag's topic/type/count table and exit")
+    p.add_argument("--sensor-topic",
+                   help="PointCloud2/Image topic (default: the preset's "
+                        "launch-file remap, else auto-pick by type)")
+    p.add_argument("--pose-topic",
+                   help="TransformStamped/PoseStamped/Odometry topic "
+                        "(same defaulting)")
     p.add_argument("--frames", type=int, default=30,
                    help="synthetic frames to generate (no --replay)")
     p.add_argument("--method",
@@ -81,8 +92,28 @@ def _preset_cfg(name: str):
     return cfg, h, w
 
 
+#: per-preset launch-file topic remaps (cow_and_lady.launch:66-67,
+#: demo.launch:70-72)
+PRESET_TOPICS = {
+    "cow_and_lady": ("/camera/depth_registered/points",
+                     "/kinect/vrpn_client/estimated_transform"),
+    "demo": ("/camera/depth/image_rect_raw", "/vins_estimator/camera_pose"),
+}
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    if args.bag_info:
+        if not args.bag:
+            raise SystemExit("--bag-info requires --bag")
+        from .io import rosbag
+
+        info = rosbag.bag_info(args.bag)
+        for topic, e in sorted(info.items()):
+            print(f"{topic:<45s} {e['type']:<35s} {e['count']:>8d} msgs "
+                  f"[{e['t0']:.3f}, {e['t1']:.3f}]")
+        return 0
 
     if args.platform:
         import jax
@@ -97,7 +128,9 @@ def main(argv=None) -> int:
     if args.esdf_mode:
         cfg = dataclasses.replace(cfg, esdf_mode=args.esdf_mode)
 
-    if args.replay:
+    if args.bag:
+        frames, kind = None, None           # streamed, not materialized
+    elif args.replay:
         data = np.load(args.replay)
         ts = data["t"]
         if len(ts) == 0:
@@ -135,7 +168,7 @@ def main(argv=None) -> int:
         kind = "cloud"
 
     pipe = FiestaPipeline(cfg, method=args.method)
-    if args.preset == "cow_and_lady" and args.replay:
+    if args.preset == "cow_and_lady" and (args.replay or args.bag):
         # recorded poses are vicon body poses; apply the dataset extrinsics
         # the reference hardcodes (src/parameters.cpp:67-75)
         from .config import COW_AND_LADY_T_D_B
@@ -164,36 +197,94 @@ def main(argv=None) -> int:
 
     t_start = time.perf_counter()
     n_updates = 0
-    for i, (t, (pos, quat), scan) in enumerate(frames):
-        pipe.observe_pose(t, pos, quat)
-        if kind == "cloud":
-            pipe.observe_cloud(t, scan)
-        else:
-            pipe.observe_depth(t, scan)
-        if i + 1 < len(frames):
-            pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+    n_frames = 0
+
+    def after_update(stats) -> None:
+        nonlocal n_updates
+        if stats is None:
+            return
+        n_updates += 1
+        if (args.print_timing_every
+                and n_updates % args.print_timing_every == 0):
+            print(Timing.print_table(), file=sys.stderr)
+        # periodic visualization (reference cadence:
+        # visualize_every_n_updates, Fiesta.h:531-534)
+        if (viz_dir and cfg.visualize_every_n_updates
+                and n_updates % cfg.visualize_every_n_updates == 0):
+            dump_slice(f"{n_updates:05d}")
+
+    if args.bag:
+        from .io import rosbag
+
+        s_default, p_default = PRESET_TOPICS.get(args.preset, (None, None))
+        sensor_topic, pose_topic = rosbag.pick_topics(
+            rosbag.bag_connections(args.bag),
+            args.sensor_topic or s_default,
+            args.pose_topic or p_default,
+        )
+        print(f"replaying {args.bag}: sensor={sensor_topic} "
+              f"pose={pose_topic}", file=sys.stderr)
+        last_pose = None
+        since_update = 0
+        for m in rosbag.read_messages(args.bag,
+                                      topics=[sensor_topic, pose_topic]):
+            if m.topic == pose_topic:
+                msg = m.msg
+                pipe.observe_pose(m.t, msg.pos, msg.quat_wxyz)
+                last_pose = (m.t, msg.pos, msg.quat_wxyz)
+                continue
+            if m.datatype == "sensor_msgs/PointCloud2":
+                pipe.observe_cloud(m.t, m.msg.xyz())
+            else:
+                img = m.msg
+                if (img.height, img.width) != (h, w):
+                    # recorded image resolution overrides the preset's
+                    from .io.replay import scale_intrinsics
+
+                    cfg = dataclasses.replace(
+                        scale_intrinsics(cfg, img.height, img.width,
+                                         base_height=h, base_width=w),
+                        max_points_per_scan=img.height * img.width,
+                    )
+                    h, w = img.height, img.width
+                    pipe.cfg = cfg
+                pipe.observe_depth(
+                    m.t, img.depth_m(cfg.depth_scaling_factor))
+            got = pipe.process()
+            n_frames += got
+            since_update += got
+            if since_update >= args.update_every:
+                since_update = 0
+                after_update(pipe.update())
+        if last_pose is not None:   # flush scans waiting on a newer pose
+            pipe.observe_pose(last_pose[0] + 1.0, *last_pose[1:])
+            n_frames += pipe.process()
+        if n_frames == 0:
+            raise SystemExit(
+                "no sensor frames matched a pose — check --sensor-topic/"
+                "--pose-topic (see --bag-info) and the bag's timestamps")
+    else:
+        n_frames = len(frames)
+        for i, (t, (pos, quat), scan) in enumerate(frames):
+            pipe.observe_pose(t, pos, quat)
+            if kind == "cloud":
+                pipe.observe_cloud(t, scan)
+            else:
+                pipe.observe_depth(t, scan)
+            if i + 1 < len(frames):
+                pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+            pipe.process()
+            if i % args.update_every == args.update_every - 1:
+                after_update(pipe.update())
+        pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
         pipe.process()
-        if i % args.update_every == args.update_every - 1:
-            stats = pipe.update()
-            if stats is not None:
-                n_updates += 1
-                if (args.print_timing_every
-                        and n_updates % args.print_timing_every == 0):
-                    print(Timing.print_table(), file=sys.stderr)
-                # periodic visualization (reference cadence:
-                # visualize_every_n_updates, Fiesta.h:531-534)
-                if (viz_dir and cfg.visualize_every_n_updates
-                        and n_updates % cfg.visualize_every_n_updates == 0):
-                    dump_slice(f"{n_updates:05d}")
-    pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
-    pipe.process()
     pipe.update()
     pipe.sync_device()
     wall = time.perf_counter() - t_start
 
     occ = int(np.asarray(pipe.occupied()).sum())
-    print(f"processed {len(frames)} frames, {n_updates + 1} ESDF updates "
-          f"in {wall:.2f}s ({wall / len(frames) * 1e3:.1f} ms/frame); "
+    print(f"processed {n_frames} frames, {n_updates + 1} ESDF updates "
+          f"in {wall:.2f}s ({wall / max(n_frames, 1) * 1e3:.1f} ms/frame); "
           f"{occ} occupied voxels", file=sys.stderr)
     print(Timing.print_table(), file=sys.stderr)
 
