@@ -51,12 +51,36 @@ _FACES2 = [
     (0, 0, -2), (0, 0, 2),
 ]
 
+# "faces 3 steps" knight-move shell (parameters.h:92-129): all (+-2, +-1)
+# in-plane combinations plus the +-3 axis steps
+_KNIGHTS = [
+    (-2, -1, 0), (2, 1, 0),
+    (0, -2, -1), (0, 2, 1),
+    (-2, 0, -1), (2, 0, 1),
+    (-2, 1, 0), (2, -1, 0),
+    (0, -2, 1), (0, 2, -1),
+    (2, 0, -1), (-2, 0, 1),
+    (-1, -2, 0), (1, 2, 0),
+    (0, -1, -2), (0, 1, 2),
+    (-1, 0, -2), (1, 0, 2),
+    (-1, 2, 0), (1, -2, 0),
+    (0, -1, 2), (0, 1, -2),
+    (1, 0, -2), (-1, 0, 2),
+]
+
+_FACES3 = [
+    (-3, 0, 0), (3, 0, 0),
+    (0, -3, 0), (0, 3, 0),
+    (0, 0, -3), (0, 0, 3),
+]
+
 STENCILS = {
     6: _FACES,
     18: _FACES + _EDGES,
     26: _FACES + _EDGES + _CORNERS,
     24: _FACES + _EDGES + _FACES2,          # reference default
     32: _FACES + _EDGES + _FACES2 + _CORNERS,
+    62: _FACES + _EDGES + _CORNERS + _FACES2 + _KNIGHTS + _FACES3,
 }
 
 

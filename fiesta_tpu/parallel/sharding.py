@@ -28,7 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import FiestaConfig
 from ..grid import INF_D2, MapState, UNDEFINED_COORD, coord_grids
 
-_PAD = 2  # stencil reach
+def _stencil_reach(dirs) -> int:
+    """Halo width = the stencil's maximum per-axis reach (2 for the
+    reference default 24-stencil, 3 for the 62-stencil alternative)."""
+    return max(abs(int(c)) for off in dirs for c in off)
 
 
 def make_mesh(n_devices: int) -> Mesh:
@@ -55,15 +58,17 @@ def shard_state(state: MapState, mesh: Mesh) -> MapState:
 # ---------------------------------------------------------------------------
 
 
-def _halo_exchange_x(closest_local: jax.Array, axis: str) -> jax.Array:
-    """Concatenate 2-plane halos from x-neighbors onto a local [3,Lx,Y,Z]
-    block -> [3, Lx+4, Y, Z].  Non-periphery shards exchange over ICI;
-    boundary shards see UNDEFINED fill (out-of-grid)."""
+def _halo_exchange_x(closest_local: jax.Array, axis: str,
+                     pad: int) -> jax.Array:
+    """Concatenate ``pad``-plane halos from x-neighbors onto a local
+    [3,Lx,Y,Z] block -> [3, Lx+2*pad, Y, Z].  Non-periphery shards
+    exchange over ICI; boundary shards see UNDEFINED fill (out-of-grid).
+    """
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
 
-    right_edge = closest_local[:, -_PAD:]       # planes sent rightward
-    left_edge = closest_local[:, :_PAD]         # planes sent leftward
+    right_edge = closest_local[:, -pad:]        # planes sent rightward
+    left_edge = closest_local[:, :pad]          # planes sent leftward
 
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
@@ -77,7 +82,7 @@ def _halo_exchange_x(closest_local: jax.Array, axis: str) -> jax.Array:
 
 
 def _relax_once_local(
-    d2, closest, x_offset, dirs, update_mask, source_mask, axis
+    d2, closest, x_offset, dirs, update_mask, source_mask, axis, pad
 ):
     """One sweep on a local X-slab with fresh halos.
 
@@ -91,10 +96,10 @@ def _relax_once_local(
     src = closest
     if source_mask is not None:
         src = jnp.where(source_mask[None], closest, UNDEFINED_COORD)
-    ext = _halo_exchange_x(src, axis)                    # [3, Lx+4, Y, Z]
+    ext = _halo_exchange_x(src, axis, pad)           # [3, Lx+2p, Y, Z]
     padded = jnp.pad(
         ext,
-        ((0, 0), (0, 0), (_PAD, _PAD), (_PAD, _PAD)),
+        ((0, 0), (0, 0), (pad, pad), (pad, pad)),
         constant_values=np.int16(-1),
     )
 
@@ -104,8 +109,8 @@ def _relax_once_local(
         dx, dy, dz = (int(o) for o in off)
         nb = jax.lax.slice(
             padded,
-            (0, _PAD + dx, _PAD + dy, _PAD + dz),
-            (3, _PAD + dx + gx, _PAD + dy + gy, _PAD + dz + gz),
+            (0, pad + dx, pad + dy, pad + dz),
+            (3, pad + dx + gx, pad + dy + gy, pad + dz + gz),
         )
         nb32 = nb.astype(jnp.int32)
         defined = nb[0] >= 0
@@ -126,10 +131,14 @@ def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0)
     """Build the jitted sharded relaxation: iterate sweeps with per-sweep
     halo exchange until no shard reports a change (global psum)."""
     dirs = cfg.stencil
+    pad = _stencil_reach(dirs)
     gx = cfg.grid_shape[0]
     n = mesh.devices.size
     assert gx % n == 0, f"grid X={gx} must divide by mesh size {n}"
     lx = gx // n
+    assert lx >= pad, (
+        f"X-slab of {lx} planes cannot serve a reach-{pad} stencil halo "
+        f"(need >= {pad} planes per device)")
 
     def local_fn(d2, closest, update_mask, source_mask):
         x_offset = jax.lax.axis_index("x").astype(jnp.int32) * lx
@@ -144,7 +153,8 @@ def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0)
         def body(c):
             d2_, c_, _, it = c
             d2n, cn, changed = _relax_once_local(
-                d2_, c_, x_offset, dirs, update_mask, source_mask, "x"
+                d2_, c_, x_offset, dirs, update_mask, source_mask,
+                "x", pad,
             )
             any_changed = jax.lax.psum(changed.astype(jnp.int32), "x") > 0
             return d2n, cn, any_changed, it + 1

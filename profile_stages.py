@@ -210,20 +210,27 @@ def main():
               f.transpose(2, 1, 0), t_fine).transpose(2, 1, 0)), f0)
 
     # ---- full tick for reference ----
+    # Two DCE traps to defeat (both bit this script before):
+    #  * d2 must feed both the carry AND the accumulator — in rebuild mode
+    #    the next tick never reads d2, so an unused d2 output lets XLA
+    #    dead-code-eliminate the ENTIRE EDT stage (~5.5 ms "missing");
+    #  * pts must be loop-carried, or the seeds+carve path (~6.6 ms) is
+    #    loop-invariant and computed once for all R iterations.
     @jax.jit
-    def tick(lo, hc, mc):
+    def tick(p, lo, hc, mc):
         def body(i, carry):
-            lo_, hc_, mc_, acc = carry
+            p_, lo_, hc_, mc_, acc = carry
             st = dataclasses.replace(
                 state, logodds=lo_, hit_cnt=hc_, miss_cnt=mc_)
             st2, stats = fused_batch_step.__wrapped__(
-                cfg, st, pts, vals, tfs, pos, method="scanline")
-            return (st2.logodds, st2.hit_cnt, st2.miss_cnt,
-                    acc + stats.num_observed)
-        _, _, _, acc = jax.lax.fori_loop(
-            0, R, body, (lo, hc, mc, jnp.int32(0)))
+                cfg, st, p_, vals, tfs, pos, method="scanline")
+            eps = st2.d2[0, 0, 0].astype(jnp.float32) * 1e-20
+            return (p_ + eps, st2.logodds, st2.hit_cnt, st2.miss_cnt,
+                    acc + stats.num_observed + st2.d2[0, 0, 0])
+        _, _, _, _, acc = jax.lax.fori_loop(
+            0, R, body, (p, lo, hc, mc, jnp.int32(0)))
         return acc
-    timed("FULL fused tick", tick, state.logodds, state.hit_cnt,
+    timed("FULL fused tick", tick, pts, state.logodds, state.hit_cnt,
           state.miss_cnt)
 
 

@@ -260,3 +260,42 @@ def test_random_cuboid_insert_delete_stress(seed):
 
     assert not occ.any()
     assert np.all(np.asarray(d2) == int(INF_D2))
+
+
+def test_stencil_62_matches_reference_listing():
+    """The 62-dir "faces 3 steps" alternative (parameters.h:92-129):
+    correct composition (faces+edges+corners+2-steps+knights+3-steps),
+    unique offsets, symmetric under negation, reach 3."""
+    dirs = np.asarray(stencil_offsets(62))
+    assert dirs.shape == (62, 3)
+    assert len({tuple(d) for d in dirs}) == 62
+    assert {tuple(-d) for d in dirs} == {tuple(d) for d in dirs}
+    norms = np.sort((dirs ** 2).sum(1))
+    # 6 faces(1) + 12 edges(2) + 8 corners(3) + 6 faces2(4) + 24 knights(5)
+    # + 6 faces3(9)
+    want = [1] * 6 + [2] * 12 + [3] * 8 + [4] * 6 + [5] * 24 + [9] * 6
+    np.testing.assert_array_equal(norms, want)
+    assert np.abs(dirs).max() == 3
+
+
+def test_relax_fixpoint_62_stencil_tighter_than_24():
+    """The denser 62-stencil must stay sound (never underestimates) and be
+    at least as tight as the 24-stencil default."""
+    shape = (20, 18, 14)
+    occ = cuboids_occ(shape, 6, 3)
+    from fiesta_tpu.grid import UNDEFINED_COORD, coord_grids
+
+    seeds_d2 = jnp.where(jnp.asarray(occ), 0, INF_D2)
+    closest0 = jnp.where(
+        jnp.asarray(occ)[None], coord_grids(shape), UNDEFINED_COORD
+    )
+    outs = {}
+    for conn in (24, 62):
+        d2, closest, _ = esdf.relax_to_fixpoint(
+            seeds_d2, closest0, None, None, stencil_offsets(conn)
+        )
+        check_invariants(d2, closest, occ)
+        outs[conn] = np.asarray(d2).astype(np.int64)
+    exact = exact_edt_d2(occ)
+    assert np.all(outs[62] >= exact)
+    assert np.all(outs[62] <= outs[24])

@@ -279,3 +279,37 @@ def test_run_bag_depth_with_resolution_rescale(tmp_path):
     from fiesta_tpu.grid import occupied_grid
 
     assert int(np.asarray(occupied_grid(_cfg, state.logodds)).sum()) > 0
+
+
+def test_bag_replay_equals_npz_replay(tmp_path):
+    """The SAME frame sequence fed through the bag reader and through the
+    npz loader must produce bit-identical maps (update-every-1 cadence so
+    tick grouping is unambiguous): catches quaternion-order, timestamp,
+    and point-decoding mistakes in one shot."""
+    from fiesta_tpu import checkpoint
+    from fiesta_tpu.run import main
+
+    frames = _small_cfg_frames("cloud", 120, 160, n_frames=7)
+
+    npz = str(tmp_path / "seq.npz")
+    np.savez_compressed(
+        npz,
+        t=np.asarray([t for t, _, _ in frames]),
+        pos=np.stack([p for _, (p, _), _ in frames]),
+        quat=np.stack([q for _, (_, q), _ in frames]),
+        clouds=np.stack([s for _, _, s in frames]),
+    )
+    bag = str(tmp_path / "seq.bag")
+    rosbag.frames_to_bag(bag, frames, kind="cloud")
+
+    ck_a, ck_b = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    assert main(["--replay", npz, "--preset", "small", "--platform", "cpu",
+                 "--update-every", "1", "--checkpoint", ck_a]) == 0
+    assert main(["--bag", bag, "--preset", "small", "--platform", "cpu",
+                 "--update-every", "1", "--checkpoint", ck_b]) == 0
+
+    _, sa = checkpoint.load(ck_a)
+    _, sb = checkpoint.load(ck_b)
+    np.testing.assert_array_equal(np.asarray(sa.logodds),
+                                  np.asarray(sb.logodds))
+    np.testing.assert_array_equal(np.asarray(sa.d2), np.asarray(sb.d2))

@@ -176,3 +176,37 @@ def test_sharded_fused_tick_matches_single_device():
     assert int(got_stats.num_observed) == int(ref_stats.num_observed)
     assert int(got_stats.num_inserted) == int(ref_stats.num_inserted)
     assert int(got_stats.num_inserted) > 0   # non-degenerate scene
+
+
+def test_sharded_update_reach3_stencil_matches_single_device():
+    """connectivity=62 reaches +-3 voxels: the halo exchange must widen to
+    3 planes (derived from the stencil, not hardcoded)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, connectivity=62)
+    shape = cfg.grid_shape
+    occ = _random_occ(shape, 0.03, 9)
+
+    d2_s, c_s, _ = esdf.update_esdf(
+        jnp.full(shape, INF_D2, jnp.int32),
+        jnp.full((3,) + shape, UNDEFINED_COORD, jnp.int16),
+        jnp.asarray(occ), jnp.asarray(occ), jnp.zeros(shape, bool),
+        None, cfg.stencil,
+    )
+
+    mesh = sharding.make_mesh(8)
+    step = sharding.sharded_esdf_update(cfg, mesh)
+    sh3 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("x", None, None)
+    )
+    sh4 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "x", None, None)
+    )
+    d2_m, c_m, iters = step(
+        jax.device_put(jnp.full(shape, INF_D2, jnp.int32), sh3),
+        jax.device_put(
+            jnp.full((3,) + shape, UNDEFINED_COORD, jnp.int16), sh4),
+        jax.device_put(jnp.asarray(occ), sh3),
+        jax.device_put(jnp.asarray(occ), sh3),
+    )
+    np.testing.assert_array_equal(np.asarray(d2_m), np.asarray(d2_s))
