@@ -53,6 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="scanline")
     p.add_argument("--esdf-mode", choices=["rebuild", "incremental"],
                    default=None, help="override config esdf_mode")
+    p.add_argument("--scrolling", action="store_true",
+                   help="unbounded-world mode: the grid recenters around "
+                        "the robot (the reference's HASH_TABLE analog); "
+                        "the final report prints the world origin")
     p.add_argument("--update-every", type=int, default=3,
                    help="ESDF tick every N frames (10 Hz at 30 Hz sensor)")
     p.add_argument("--viz-dir", help="dump slice images + occupied cloud")
@@ -167,7 +171,12 @@ def main(argv=None) -> int:
         frames = seq
         kind = "cloud"
 
-    pipe = FiestaPipeline(cfg, method=args.method)
+    if args.scrolling:
+        from .scrolling import ScrollingFiestaPipeline
+
+        pipe = ScrollingFiestaPipeline(cfg, method=args.method)
+    else:
+        pipe = FiestaPipeline(cfg, method=args.method)
     if args.preset == "cow_and_lady" and (args.replay or args.bag):
         # recorded poses are vicon body poses; apply the dataset extrinsics
         # the reference hardcodes (src/parameters.cpp:67-75)
@@ -286,6 +295,10 @@ def main(argv=None) -> int:
     print(f"processed {n_frames} frames, {n_updates + 1} ESDF updates "
           f"in {wall:.2f}s ({wall / max(n_frames, 1) * 1e3:.1f} ms/frame); "
           f"{occ} occupied voxels", file=sys.stderr)
+    if args.scrolling:
+        print(f"scrolling grid: {pipe.scroll_count} recenters, world "
+              f"origin now {np.round(pipe.world_origin, 3)} (checkpoints "
+              "store the map in this frame)", file=sys.stderr)
     print(Timing.print_table(), file=sys.stderr)
 
     if args.ground_truth_check:

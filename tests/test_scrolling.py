@@ -115,3 +115,11 @@ def test_scrolling_pipeline_follows_robot():
         inside = np.all((vox >= 0) & (vox < occ_true.shape), axis=1)
         errs = true_dist[tuple(vox[inside].T)]
         assert (errs <= 2.0).mean() > 0.9
+
+
+def test_cli_scrolling_flag(tmp_path):
+    """run.py --scrolling drives the ScrollingFiestaPipeline end-to-end."""
+    from fiesta_tpu.run import main
+
+    assert main(["--preset", "small", "--frames", "6", "--platform", "cpu",
+                 "--scrolling", "--seed", "2"]) == 0
