@@ -207,14 +207,16 @@ class FiestaConfig:
     trunc_dist: float = 5.0
     # Exact-EDT radius (meters) in rebuild mode; between edt_fine_dist and
     # trunc_dist a half-resolution far field is used (error <= 1 coarse
-    # voxel = 2*resolution).  Set >= trunc_dist to disable the hierarchy.
-    # Lowering this trades far-field accuracy for window-pass cost (the
-    # far-field quantization stays below the reference BFS's own measured
-    # overestimate down to ~1 m, ESDFMap.cpp:940-975), but at current
-    # kernel per-call overheads the measured saving is small (~0.15 ms per
-    # tick for 2.0 -> 1.2 at cow scale), so the default keeps the stronger
-    # accuracy contract.
-    edt_fine_dist: float = 2.0
+    # voxel = 2*resolution).  >= trunc_dist (the default) disables the
+    # hierarchy: distances are EXACT everywhere within trunc_dist — a
+    # strictly stronger contract than the reference's near-optimal BFS —
+    # and the single-device tick matches the sharded tick's single-level
+    # EDT semantics exactly.  Measured trade at cow_and_lady scale
+    # (bench_accuracy.py / PERF.md): the 2.0 m hierarchy saves ~1.7 ms of
+    # a ~15 ms tick but leaves +-2-voxel far-field quantization and a thin
+    # unreachable blur at the truncation boundary; set edt_fine_dist=2.0
+    # to buy the speed back where that error band is acceptable.
+    edt_fine_dist: float = 5.0
     # Rays are padded to this many points per scan (static shapes under jit).
     max_points_per_scan: int = 65536
     # Max DDA steps per ray; 0 => derive from max_ray_length / resolution.
