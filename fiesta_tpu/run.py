@@ -60,7 +60,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--update-every", type=int, default=3,
                    help="ESDF tick every N frames (10 Hz at 30 Hz sensor)")
     p.add_argument("--viz-dir", help="dump slice images + occupied cloud")
+    p.add_argument("--profile-dir",
+                   help="capture a jax.profiler trace of the replay into "
+                        "this directory (the reference's timing registry "
+                        "covers wall clock only; this is the op-level view)")
     p.add_argument("--checkpoint", help="save the final map here")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also checkpoint after every N ESDF updates "
+                        "(crash/resume protection; writes are atomic)")
     p.add_argument("--resume", help="start from a checkpoint")
     p.add_argument("--mpc", action="store_true",
                    help="run an MPC plan against the final ESDF")
@@ -221,6 +228,18 @@ def main(argv=None) -> int:
         if (viz_dir and cfg.visualize_every_n_updates
                 and n_updates % cfg.visualize_every_n_updates == 0):
             dump_slice(f"{n_updates:05d}")
+        if (args.checkpoint and args.checkpoint_every
+                and n_updates % args.checkpoint_every == 0):
+            from . import checkpoint
+
+            checkpoint.save(args.checkpoint, cfg, pipe.state)
+
+    profile_cm = None
+    if args.profile_dir:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile_dir)
+        profile_cm.__enter__()
 
     if args.bag:
         from .io import rosbag
@@ -289,6 +308,9 @@ def main(argv=None) -> int:
         pipe.process()
     pipe.update()
     pipe.sync_device()
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        print(f"profiler trace in {args.profile_dir}", file=sys.stderr)
     wall = time.perf_counter() - t_start
 
     occ = int(np.asarray(pipe.occupied()).sum())

@@ -144,3 +144,21 @@ def test_cli_runner(tmp_path):
     assert "processed 6 frames" in out.stderr
     assert (tmp_path / "m.npz").exists()
     assert (tmp_path / "viz" / "slice.npz").exists()
+
+
+def test_cli_profile_and_periodic_checkpoint(tmp_path):
+    """--profile-dir writes a trace; --checkpoint-every writes mid-run."""
+    from fiesta_tpu.run import main
+
+    ck = str(tmp_path / "map.npz")
+    prof = str(tmp_path / "trace")
+    rc = main(["--preset", "small", "--frames", "9", "--platform", "cpu",
+               "--checkpoint", ck, "--checkpoint-every", "1",
+               "--profile-dir", prof])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(ck)
+    # jax writes plugins/… trace files under the directory
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert found, "no profiler trace files written"

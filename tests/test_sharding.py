@@ -210,3 +210,42 @@ def test_sharded_update_reach3_stencil_matches_single_device():
         jax.device_put(jnp.asarray(occ), sh3),
     )
     np.testing.assert_array_equal(np.asarray(d2_m), np.asarray(d2_s))
+
+
+def test_sharded_scroll_matches_single_device():
+    """scroll_state under an 8-device X-sharded mesh: GSPMD must move
+    content across shard boundaries identically to the single-device
+    shift (the scrolling grid is how unbounded worlds meet the sharded
+    map)."""
+    import dataclasses
+
+    from fiesta_tpu.grid import make_state
+    from fiesta_tpu.scrolling import scroll_state
+
+    shape = CFG.grid_shape
+    rng = np.random.default_rng(3)
+    state = make_state(CFG)
+    state = dataclasses.replace(
+        state,
+        logodds=jnp.asarray(rng.normal(size=shape), jnp.float32),
+        d2=jnp.asarray(rng.integers(0, 50, size=shape), jnp.int32),
+        closest=jnp.asarray(rng.integers(0, 10, size=(3,) + shape),
+                            jnp.int16),
+        seen=jnp.asarray(rng.random(shape) < 0.5),
+        hit_cnt=jnp.asarray(rng.integers(0, 3, size=shape), jnp.uint8),
+        miss_cnt=jnp.asarray(rng.integers(0, 3, size=shape), jnp.uint8),
+    )
+    shift = jnp.asarray([5, -3, 2], jnp.int32)
+
+    single = scroll_state(
+        jax.tree_util.tree_map(jnp.copy, state), shift)
+
+    mesh = sharding.make_mesh(8)
+    sharded_in = sharding.shard_state(
+        jax.tree_util.tree_map(jnp.copy, state), mesh)
+    sharded_out = scroll_state(sharded_in, shift)
+
+    for name in ("logodds", "d2", "closest", "seen", "hit_cnt", "miss_cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sharded_out, name)),
+            np.asarray(getattr(single, name)), err_msg=name)
