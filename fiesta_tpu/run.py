@@ -71,6 +71,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", help="start from a checkpoint")
     p.add_argument("--mpc", action="store_true",
                    help="run an MPC plan against the final ESDF")
+    p.add_argument("--fly", action="store_true",
+                   help="closed-loop flight across the mapped space: "
+                        "receding-horizon MPC executing the first control "
+                        "each step (BASELINE config 5)")
+    p.add_argument("--fly-steps", type=int, default=60,
+                   help="max control steps for --fly")
     p.add_argument("--ground-truth-check", action="store_true",
                    help="print the accuracy oracle report (debug C20)")
     p.add_argument("--print-timing-every", type=int, default=0,
@@ -361,7 +367,7 @@ def main(argv=None) -> int:
         checkpoint.save(args.checkpoint, cfg, pipe.state)
         print(f"checkpoint saved to {args.checkpoint}", file=sys.stderr)
 
-    if args.mpc:
+    if args.mpc or args.fly:
         import jax
         import jax.numpy as jnp
 
@@ -372,9 +378,12 @@ def main(argv=None) -> int:
         center = lo + np.asarray(cfg.map_size) / 2
         p0 = jnp.asarray(center + [0.0, -1.0, 0.0], jnp.float32)
         goal = jnp.asarray(center + [0.0, 1.0, 0.0], jnp.float32)
+        dist = pipe.distance_grid()
+
+    if args.mpc:
         with Timer("mpc_plan"):
             res = mpc_mod.plan_step(
-                cfg, mpc_cfg, pipe.distance_grid(), p0, jnp.zeros(3), goal,
+                cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal,
                 jnp.zeros((mpc_cfg.horizon, 3)), jax.random.PRNGKey(0),
             )
             jax.block_until_ready(res.controls)
@@ -382,6 +391,45 @@ def main(argv=None) -> int:
               f"{float(res.cost):.2f}, plan ends at "
               f"{np.asarray(res.positions[-1]).round(2)}", file=sys.stderr)
         print(Timing.print_table(), file=sys.stderr)
+
+    if args.fly:
+        # receding horizon: solve, execute the first control, re-plan
+        # (the closed loop of tests/test_full_loop.py as a CLI mode)
+        p, v = p0, jnp.zeros(3)
+        nominal = jnp.zeros((mpc_cfg.horizon, 3))
+        key = jax.random.PRNGKey(args.seed)
+        executed = [np.asarray(p)]
+        reached = False
+        for step in range(args.fly_steps):
+            key, k = jax.random.split(key)
+            with Timer("fly_step"):
+                res = mpc_mod.plan_step(
+                    cfg, mpc_cfg, dist, p, v, goal, nominal, k)
+                a = res.controls[0]
+                v = jnp.clip(v + a * mpc_cfg.dt,
+                             -mpc_cfg.v_max, mpc_cfg.v_max)
+                p = p + v * mpc_cfg.dt
+                nominal = mpc_mod.shift_nominal(res.controls)
+                jax.block_until_ready(p)
+            executed.append(np.asarray(p))
+            if float(jnp.linalg.norm(p - goal)) < 0.3:
+                reached = True
+                break
+        executed = np.asarray(executed)
+        clear = float(np.asarray(pipe.query_distance(executed)).min())
+        clear_txt = (f"{clear:.2f} m" if clear < 9999
+                     else "unobstructed (no obstacle within range)")
+        print(f"fly: {len(executed) - 1} control steps, "
+              f"{'reached goal' if reached else 'goal not reached'} "
+              f"(final err {np.linalg.norm(executed[-1] - np.asarray(goal)):.2f} m), "
+              f"min map clearance {clear_txt}", file=sys.stderr)
+        print(Timing.print_table(), file=sys.stderr)
+        if args.viz_dir:
+            import os
+
+            np.savez_compressed(
+                os.path.join(args.viz_dir, "flight_path.npz"),
+                path=executed, goal=np.asarray(goal))
 
     return 0
 

@@ -213,3 +213,12 @@ def test_sharded_planner_runs():
     np.testing.assert_allclose(np.asarray(res.controls),
                                np.asarray(ref.controls), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_cli_fly_mode():
+    """run.py --fly: closed-loop receding-horizon flight on the mapped
+    ESDF (BASELINE config 5 as a CLI mode)."""
+    from fiesta_tpu.run import main
+
+    assert main(["--preset", "small", "--frames", "9", "--platform", "cpu",
+                 "--fly", "--fly-steps", "4"]) == 0
