@@ -159,5 +159,30 @@ def main():
     }))
 
 
+def main_with_retry(attempts: int = 3, wait_s: float = 20.0) -> None:
+    """The axon tunnel occasionally fails backend init transiently
+    (observed: \"Unable to initialize backend 'axon'\").  JAX memoizes a
+    failed backend in-process, so recovery requires a fresh interpreter:
+    re-exec this script (attempt counter in the environment) so a flake
+    doesn't void the recorded benchmark.  Benchmark-logic errors
+    (assertions etc.) propagate immediately."""
+    import os
+
+    attempt = int(os.environ.get("FIESTA_BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except (AssertionError, ValueError, KeyError, TypeError):
+        raise
+    except Exception as e:  # backend/tunnel/RPC errors
+        log(f"attempt {attempt + 1}/{attempts} failed: {e!r}")
+        if attempt + 1 >= attempts:
+            raise
+        time.sleep(wait_s)
+        os.environ["FIESTA_BENCH_ATTEMPT"] = str(attempt + 1)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()
