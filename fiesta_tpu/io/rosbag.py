@@ -820,3 +820,93 @@ def frames_to_bag(path: str, frames, kind: str = "cloud",
             else:
                 yield t, sensor_topic, make_depth_image(t, scan)
     write_bag(path, gen(), compression=compression)
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m fiesta_tpu.io.rosbag {info|to-npz|from-npz} ...
+# ---------------------------------------------------------------------------
+
+
+def _cli(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m fiesta_tpu.io.rosbag",
+        description="ROS bag utilities (no ROS install needed)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pi = sub.add_parser("info", help="topic/type/count table (rosbag info)")
+    pi.add_argument("bag")
+    pn = sub.add_parser("to-npz",
+                        help="convert a bag to run.py's .npz replay format")
+    pn.add_argument("bag")
+    pn.add_argument("npz")
+    pn.add_argument("--sensor-topic")
+    pn.add_argument("--pose-topic")
+    pn.add_argument("--depth-scale", type=float, default=1000.0)
+    pf = sub.add_parser("from-npz",
+                        help="convert a .npz replay sequence to a bag")
+    pf.add_argument("npz")
+    pf.add_argument("bag")
+    pf.add_argument("--compression", choices=["none", "bz2"],
+                    default="none")
+    args = p.parse_args(argv)
+
+    if args.cmd == "info":
+        for topic, e in sorted(bag_info(args.bag).items()):
+            print(f"{topic:<45s} {e['type']:<35s} {e['count']:>8d} msgs "
+                  f"[{e['t0']:.3f}, {e['t1']:.3f}]")
+        return 0
+
+    if args.cmd == "to-npz":
+        sensor, pose = pick_topics(bag_connections(args.bag),
+                                   args.sensor_topic, args.pose_topic)
+        ts, poss, quats, scans = [], [], [], []
+        last_pose = None
+        kind = None
+        for m in read_messages(args.bag, topics=[sensor, pose]):
+            if m.topic == pose:
+                last_pose = m.msg
+                continue
+            if last_pose is None:
+                continue    # scan before any pose: drop (run.py would too)
+            if m.datatype == "sensor_msgs/PointCloud2":
+                scan, k = m.msg.xyz(), "cloud"
+            else:
+                scan, k = m.msg.depth_m(args.depth_scale), "depth"
+            if kind is None:
+                kind = k
+            elif kind != k:
+                continue    # mixed sensor types: keep the first kind
+            ts.append(m.t)
+            poss.append(last_pose.pos)
+            quats.append(last_pose.quat_wxyz)
+            scans.append(scan)
+        if not ts:
+            raise SystemExit("no (pose, scan) pairs found")
+        shapes = {s.shape for s in scans}
+        if len(shapes) > 1:   # ragged clouds: pad to the largest
+            n = max(s[0] for s in shapes)
+            scans = [np.pad(s, ((0, n - s.shape[0]), (0, 0)),
+                            constant_values=np.nan) for s in scans]
+        key = "clouds" if kind == "cloud" else "depths"
+        np.savez_compressed(args.npz, t=np.asarray(ts),
+                            pos=np.stack(poss), quat=np.stack(quats),
+                            **{key: np.stack(scans)})
+        print(f"wrote {args.npz}: {len(ts)} frames ({kind})")
+        return 0
+
+    data = np.load(args.npz)
+    kind = "cloud" if "clouds" in data else "depth"
+    frames = [
+        (float(data["t"][i]), (data["pos"][i], data["quat"][i]),
+         data["clouds"][i] if kind == "cloud" else data["depths"][i])
+        for i in range(len(data["t"]))
+    ]
+    frames_to_bag(args.bag, frames, kind=kind,
+                  compression=args.compression)
+    print(f"wrote {args.bag}: {len(frames)} frames ({kind})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_cli())

@@ -313,3 +313,54 @@ def test_bag_replay_equals_npz_replay(tmp_path):
     np.testing.assert_array_equal(np.asarray(sa.logodds),
                                   np.asarray(sb.logodds))
     np.testing.assert_array_equal(np.asarray(sa.d2), np.asarray(sb.d2))
+
+
+def test_truncated_and_corrupt_bags_fail_cleanly(tmp_path):
+    """Truncated/corrupt bags must raise (or stop) promptly — never hang
+    or produce garbage messages."""
+    frames = _small_cfg_frames("cloud", 60, 80, n_frames=3)
+    bag = str(tmp_path / "full.bag")
+    rosbag.frames_to_bag(bag, frames)
+    blob = open(bag, "rb").read()
+
+    for cut in (len(blob) // 3, len(blob) // 2, len(blob) - 7):
+        path = str(tmp_path / f"cut_{cut}.bag")
+        with open(path, "wb") as f:
+            f.write(blob[:cut])
+        try:
+            msgs = list(rosbag.read_messages(path))
+        except Exception:
+            continue                      # clean failure is acceptable
+        # partial success: every yielded message must be well-formed
+        for m in msgs:
+            assert m.datatype in rosbag._DESERIALIZERS
+            assert np.isfinite(m.t)
+
+
+def test_cli_converter_roundtrip(tmp_path, capsys):
+    """bag -> npz -> bag via the module CLI preserves the sequence."""
+    from fiesta_tpu.io.rosbag import _cli
+
+    frames = _small_cfg_frames("cloud", 60, 80, n_frames=4)
+    bag1 = str(tmp_path / "a.bag")
+    rosbag.frames_to_bag(bag1, frames)
+
+    npz = str(tmp_path / "a.npz")
+    assert _cli(["to-npz", bag1, npz]) == 0
+    data = np.load(npz)
+    assert len(data["t"]) == 4
+    assert data["clouds"].shape[0] == 4
+    np.testing.assert_allclose(data["pos"][0], frames[0][1][0])
+
+    bag2 = str(tmp_path / "b.bag")
+    assert _cli(["from-npz", npz, bag2, "--compression", "bz2"]) == 0
+    out = [m for m in rosbag.read_messages(bag2)
+           if m.datatype == "sensor_msgs/PointCloud2"]
+    assert len(out) == 4
+    got = out[0].msg.xyz()
+    want = np.asarray(frames[0][2], np.float32)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))
+
+    assert _cli(["info", bag2]) == 0
+    assert "PointCloud2" in capsys.readouterr().out
