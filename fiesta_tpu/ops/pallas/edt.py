@@ -99,16 +99,21 @@ def _minplus_pass_pallas(f: jax.Array, t: int,
         buf[pl.ds(t, a), :] = f_ref[:, :]
 
         # symmetric pairing: offsets +-k share one k^2 add (min of the two
-        # shifted slabs first) — 3 VPU ops per pair instead of 4
-        def body(k, acc):
+        # shifted slabs first) — 3 VPU ops per pair instead of 4.
+        # The window loop is a STATIC python unroll, not a fori_loop: a
+        # traced loop index makes every tap a dynamic sublane slice, which
+        # Mosaic lowers with a per-iteration runtime shuffle — measured
+        # 4.54 -> 3.56 ms per pass at t=100 (cow grid) from this change
+        # alone.  (Going further — mod-8 residue-rolled scratch copies so
+        # every tap is sublane-aligned — measured NO further gain: static
+        # constant-offset shuffles are already cheap, see PERF.md.)
+        acc = buf[pl.ds(t, a), :]
+        np_dtype = np.int16 if dtype == jnp.int16 else np.int32
+        for k in range(1, t + 1):
             lo = buf[pl.ds(t - k, a), :]
             hi = buf[pl.ds(t + k, a), :]
-            cost = (k * k).astype(dtype)
-            return jnp.minimum(acc, jnp.minimum(lo, hi) + cost)
-
-        out_ref[:, :] = jax.lax.fori_loop(
-            1, t + 1, body, buf[pl.ds(t, a), :]
-        )
+            acc = jnp.minimum(acc, jnp.minimum(lo, hi) + np_dtype(k * k))
+        out_ref[:, :] = acc
 
     out = pl.pallas_call(
         kernel,
