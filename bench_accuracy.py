@@ -145,7 +145,11 @@ def main():
     # TPU production EDT (the rebuild-mode tick's d2, bit-identical path)
     t_total = edt_mod.trunc_vox_for(res, cfg.trunc_dist)
     t_fine = edt_mod.trunc_vox_for(res, cfg.edt_fine_dist)
-    if t_fine < t_total:   # mirror pipeline.esdf_update's dispatch exactly
+    # mirror pipeline.esdf_update's dispatch exactly (incl. the even-dims
+    # condition, pipeline.py:121-124)
+    hierarchical = (t_fine < t_total
+                    and all(g % 2 == 0 for g in cfg.grid_shape))
+    if hierarchical:
         fn = lambda o: edt_mod.hierarchical_edt_d2(o, t_fine, t_total)
     else:
         fn = lambda o: edt_mod.truncated_edt_d2(o, t_total)
@@ -168,7 +172,11 @@ def main():
 
     full = reports["full (<= trunc_dist)"]
     fine = reports["fine (<= edt_fine_dist)"]
-    # contract checks, stated loudly
+    # contract checks, stated loudly.  n_unreachable == 0 matters: a voxel
+    # wrongly truncated to INF inside the exact radius would otherwise be
+    # silently dropped from the error stats and the max/min checks.
+    assert fine["tpu"]["n_unreachable"] == 0, \
+        "TPU EDT truncated a voxel inside edt_fine_dist"
     assert fine["tpu"]["max"] <= 1e-6 and fine["tpu"]["min"] >= -1e-6, \
         "TPU EDT must be EXACT within edt_fine_dist"
     assert full["tpu"]["max"] <= 2 * res * np.sqrt(3) + 1e-6, \

@@ -531,6 +531,17 @@ def bag_connections(path: str) -> Dict[str, str]:
     return out
 
 
+def print_bag_info(info: Dict[str, dict], file=None) -> None:
+    """Print ``bag_info()`` as the topic table (one formatter, shared by
+    run.py --bag-info and the module CLI)."""
+    import sys
+
+    file = file or sys.stdout
+    for topic, e in sorted(info.items()):
+        print(f"{topic:<45s} {e['type']:<35s} {e['count']:>8d} msgs "
+              f"[{e['t0']:.3f}, {e['t1']:.3f}]", file=file)
+
+
 def pick_topics(
     info: Dict[str, object],
     sensor_topic: Optional[str] = None,
@@ -852,9 +863,7 @@ def _cli(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "info":
-        for topic, e in sorted(bag_info(args.bag).items()):
-            print(f"{topic:<45s} {e['type']:<35s} {e['count']:>8d} msgs "
-                  f"[{e['t0']:.3f}, {e['t1']:.3f}]")
+        print_bag_info(bag_info(args.bag))
         return 0
 
     if args.cmd == "to-npz":
@@ -884,7 +893,14 @@ def _cli(argv=None) -> int:
         if not ts:
             raise SystemExit("no (pose, scan) pairs found")
         shapes = {s.shape for s in scans}
-        if len(shapes) > 1:   # ragged clouds: pad to the largest
+        if len(shapes) > 1:
+            if kind == "depth":
+                raise SystemExit(
+                    "depth resolution changes mid-bag; the fixed-shape npz "
+                    "format cannot hold it — replay the bag directly "
+                    "(run.py --bag rescales intrinsics on the fly)")
+            # ragged clouds: pad to the largest with NaN (dropped by the
+            # pipeline's finite mask)
             n = max(s[0] for s in shapes)
             scans = [np.pad(s, ((0, n - s.shape[0]), (0, 0)),
                             constant_values=np.nan) for s in scans]

@@ -126,16 +126,17 @@ def main(argv=None) -> int:
             raise SystemExit("--bag-info requires --bag")
         from .io import rosbag
 
-        info = rosbag.bag_info(args.bag)
-        for topic, e in sorted(info.items()):
-            print(f"{topic:<45s} {e['type']:<35s} {e['count']:>8d} msgs "
-                  f"[{e['t0']:.3f}, {e['t1']:.3f}]")
+        rosbag.print_bag_info(rosbag.bag_info(args.bag))
         return 0
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.checkpoint_every and not args.checkpoint:
+        raise SystemExit("--checkpoint-every requires --checkpoint "
+                         "(the path periodic saves write to)")
 
     from .io import replay
     from .pipeline import FiestaPipeline
@@ -247,76 +248,80 @@ def main(argv=None) -> int:
         profile_cm = jax.profiler.trace(args.profile_dir)
         profile_cm.__enter__()
 
-    if args.bag:
-        from .io import rosbag
+    try:
+        if args.bag:
+            from .io import rosbag
 
-        s_default, p_default = PRESET_TOPICS.get(args.preset, (None, None))
-        sensor_topic, pose_topic = rosbag.pick_topics(
-            rosbag.bag_connections(args.bag),
-            args.sensor_topic or s_default,
-            args.pose_topic or p_default,
-        )
-        print(f"replaying {args.bag}: sensor={sensor_topic} "
-              f"pose={pose_topic}", file=sys.stderr)
-        last_pose = None
-        since_update = 0
-        for m in rosbag.read_messages(args.bag,
-                                      topics=[sensor_topic, pose_topic]):
-            if m.topic == pose_topic:
-                msg = m.msg
-                pipe.observe_pose(m.t, msg.pos, msg.quat_wxyz)
-                last_pose = (m.t, msg.pos, msg.quat_wxyz)
-                continue
-            if m.datatype == "sensor_msgs/PointCloud2":
-                pipe.observe_cloud(m.t, m.msg.xyz())
-            else:
-                img = m.msg
-                if (img.height, img.width) != (h, w):
-                    # recorded image resolution overrides the preset's
-                    from .io.replay import scale_intrinsics
+            s_default, p_default = PRESET_TOPICS.get(args.preset, (None, None))
+            sensor_topic, pose_topic = rosbag.pick_topics(
+                rosbag.bag_connections(args.bag),
+                args.sensor_topic or s_default,
+                args.pose_topic or p_default,
+            )
+            print(f"replaying {args.bag}: sensor={sensor_topic} "
+                  f"pose={pose_topic}", file=sys.stderr)
+            last_pose = None
+            since_update = 0
+            for m in rosbag.read_messages(args.bag,
+                                          topics=[sensor_topic, pose_topic]):
+                if m.topic == pose_topic:
+                    msg = m.msg
+                    pipe.observe_pose(m.t, msg.pos, msg.quat_wxyz)
+                    last_pose = (m.t, msg.pos, msg.quat_wxyz)
+                    continue
+                if m.datatype == "sensor_msgs/PointCloud2":
+                    pipe.observe_cloud(m.t, m.msg.xyz())
+                else:
+                    img = m.msg
+                    if (img.height, img.width) != (h, w):
+                        # recorded image resolution overrides the preset's
+                        from .io.replay import scale_intrinsics
 
-                    cfg = dataclasses.replace(
-                        scale_intrinsics(cfg, img.height, img.width,
-                                         base_height=h, base_width=w),
-                        max_points_per_scan=img.height * img.width,
-                    )
-                    h, w = img.height, img.width
-                    pipe.cfg = cfg
-                pipe.observe_depth(
-                    m.t, img.depth_m(cfg.depth_scaling_factor))
-            got = pipe.process()
-            n_frames += got
-            since_update += got
-            if since_update >= args.update_every:
-                since_update = 0
-                after_update(pipe.update())
-        if last_pose is not None:   # flush scans waiting on a newer pose
-            pipe.observe_pose(last_pose[0] + 1.0, *last_pose[1:])
-            n_frames += pipe.process()
-        if n_frames == 0:
-            raise SystemExit(
-                "no sensor frames matched a pose — check --sensor-topic/"
-                "--pose-topic (see --bag-info) and the bag's timestamps")
-    else:
-        n_frames = len(frames)
-        for i, (t, (pos, quat), scan) in enumerate(frames):
-            pipe.observe_pose(t, pos, quat)
-            if kind == "cloud":
-                pipe.observe_cloud(t, scan)
-            else:
-                pipe.observe_depth(t, scan)
-            if i + 1 < len(frames):
-                pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+                        cfg = dataclasses.replace(
+                            scale_intrinsics(cfg, img.height, img.width,
+                                             base_height=h, base_width=w),
+                            max_points_per_scan=img.height * img.width,
+                        )
+                        h, w = img.height, img.width
+                        pipe.cfg = cfg
+                    pipe.observe_depth(
+                        m.t, img.depth_m(cfg.depth_scaling_factor))
+                got = pipe.process()
+                n_frames += got
+                since_update += got
+                if since_update >= args.update_every:
+                    since_update = 0
+                    after_update(pipe.update())
+            if last_pose is not None:   # flush scans waiting on a newer pose
+                pipe.observe_pose(last_pose[0] + 1.0, *last_pose[1:])
+                n_frames += pipe.process()
+            if n_frames == 0:
+                raise SystemExit(
+                    "no sensor frames matched a pose — check --sensor-topic/"
+                    "--pose-topic (see --bag-info) and the bag's timestamps")
+        else:
+            n_frames = len(frames)
+            for i, (t, (pos, quat), scan) in enumerate(frames):
+                pipe.observe_pose(t, pos, quat)
+                if kind == "cloud":
+                    pipe.observe_cloud(t, scan)
+                else:
+                    pipe.observe_depth(t, scan)
+                if i + 1 < len(frames):
+                    pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+                pipe.process()
+                if i % args.update_every == args.update_every - 1:
+                    after_update(pipe.update())
+            pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
             pipe.process()
-            if i % args.update_every == args.update_every - 1:
-                after_update(pipe.update())
-        pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
-        pipe.process()
-    pipe.update()
-    pipe.sync_device()
-    if profile_cm is not None:
-        profile_cm.__exit__(None, None, None)
-        print(f"profiler trace in {args.profile_dir}", file=sys.stderr)
+        pipe.update()
+        pipe.sync_device()
+    finally:
+        # finalize the trace even when replay fails (a leaked trace is
+        # empty/corrupt with no indication why)
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
+            print(f"profiler trace in {args.profile_dir}", file=sys.stderr)
     wall = time.perf_counter() - t_start
 
     occ = int(np.asarray(pipe.occupied()).sum())
@@ -416,7 +421,12 @@ def main(argv=None) -> int:
                 reached = True
                 break
         executed = np.asarray(executed)
-        clear = float(np.asarray(pipe.query_distance(executed)).min())
+        # the flight was planned in the map's virtual frame (dist grid +
+        # cfg.origin indexing), so query clearance in that same frame via
+        # the base-class method — ScrollingFiestaPipeline.query_distance
+        # takes WORLD positions and would shift the path a second time
+        clear = float(np.asarray(
+            FiestaPipeline.query_distance(pipe, executed)).min())
         clear_txt = (f"{clear:.2f} m" if clear < 9999
                      else "unobstructed (no obstacle within range)")
         print(f"fly: {len(executed) - 1} control steps, "
@@ -427,9 +437,14 @@ def main(argv=None) -> int:
         if args.viz_dir:
             import os
 
+            # store the path in WORLD coordinates (identical to the
+            # virtual frame unless --scrolling has recentered)
+            offset = (np.asarray(pipe.world_origin)
+                      - np.asarray(cfg.origin)) if args.scrolling \
+                else np.zeros(3)
             np.savez_compressed(
                 os.path.join(args.viz_dir, "flight_path.npz"),
-                path=executed, goal=np.asarray(goal))
+                path=executed + offset, goal=np.asarray(goal) + offset)
 
     return 0
 
