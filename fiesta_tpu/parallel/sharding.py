@@ -39,6 +39,33 @@ def make_mesh(n_devices: int) -> Mesh:
     return Mesh(devices, ("x",))
 
 
+def distributed_mesh(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> Mesh:
+    """Multi-host mesh over ICI/DCN: initialize the ``jax.distributed``
+    runtime (args default to the standard JAX_* / cloud-TPU environment
+    variables) and return the 1-D X-slab mesh over ALL global devices.
+
+    Every sharded entry point in this module (``sharded_esdf_update``,
+    ``sharded_fused_tick``, the MPC planner's rollout sharding) is written
+    against an abstract mesh, so the same program runs on one host's chips
+    or a multi-host slice — XLA lays the ``ppermute`` halo exchanges and
+    ``psum`` reductions onto ICI within a slice and DCN across slices.
+    Single-process virtual meshes (tests, ``__graft_entry__``) use
+    ``make_mesh`` instead; this helper is the production multi-host entry
+    and is exercised per-release on real slices (it cannot run in a
+    single-host CI).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return Mesh(np.array(jax.devices()), ("x",))
+
+
 def state_shardings(mesh: Mesh) -> MapState:
     """NamedShardings for MapState: [X,Y,Z] arrays sharded on X."""
     s3 = NamedSharding(mesh, P("x", None, None))

@@ -129,10 +129,20 @@ def main(argv=None) -> int:
         rosbag.print_bag_info(rosbag.bag_info(args.bag))
         return 0
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA compilation cache: the full pipeline's first compile is
+    # ~30-60 s on TPU; cached reruns start in seconds
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("FIESTA_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/fiesta_tpu_xla")))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.checkpoint_every and not args.checkpoint:
         raise SystemExit("--checkpoint-every requires --checkpoint "
