@@ -95,8 +95,12 @@ def main():
         log(f"warm batch {i}: {time.perf_counter()-ti:.2f}s "
             f"observed={int(stats.num_observed)} "
             f"inserted={int(stats.num_inserted)}")
-    log("warmup done; map occupied voxels: "
-        f"{int(np.asarray(pipe.occupied()).sum())}")
+    n_occ = int(np.asarray(pipe.occupied()).sum())
+    log(f"warmup done; map occupied voxels: {n_occ}")
+    assert n_occ > 1000, (
+        f"benchmark scene mapped only {n_occ} occupied voxels — the tick is "
+        "fixed-cost so timing would still be valid, but an (almost) empty "
+        "scene is not a representative benchmark; fix the replay world")
 
     # Per-dispatch streaming (diagnostic): async dispatch, one sync at the
     # end.  Includes per-tick host dispatch through the axon tunnel — an

@@ -73,6 +73,11 @@ def main():
     st, stats = stream(st, depths, tfs, poss)
     _ = int(np.asarray(stats.num_observed[-1]))
     batch_ms = 1e3 * (time.perf_counter() - t0) / n
+    from fiesta_tpu.grid import occupied_grid
+
+    n_occ = int(np.asarray(occupied_grid(cfg, st.logodds)).sum())
+    log(f"map occupied voxels: {n_occ}")
+    assert n_occ > 0, "benchmark scene mapped an empty world"
     log(f"steady: {n} depth-mode ticks -> {batch_ms:.2f} ms/batch, "
         f"{batch_ms/3:.2f} ms/frame")
 

@@ -32,8 +32,14 @@ import numpy as np
 from .config import FiestaConfig
 
 # Sentinels.
-UNDEFINED_COORD = jnp.int16(-1)       # closest-obstacle "undefined" marker
-INF_D2 = jnp.int32(1 << 29)           # squared-distance infinity (voxel units)
+# NB: numpy scalars, NOT jnp — a module-level jnp constant initializes
+# the default backend at import time (before run.py/conftest can pin
+# the platform) and commits the scalar to that device; every jaxpr
+# closing over it then embeds a device constant whose value fetch rides
+# the TPU tunnel during lowering (observed: intermittent multi-minute
+# compile stalls in --platform cpu subprocesses).
+UNDEFINED_COORD = np.int16(-1)        # closest-obstacle "undefined" marker
+INF_D2 = np.int32(1 << 29)            # squared-distance infinity (voxel units)
 # reference "undefined_" return value for out-of-map queries (ESDFMap.cpp:182)
 UNDEFINED_DIST = -10000.0
 

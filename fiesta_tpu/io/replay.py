@@ -14,7 +14,7 @@ check plays in the reference, ESDFMap.cpp:905-1054).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -33,12 +33,19 @@ class BoxWorld:
         cfg: FiestaConfig, n_boxes: int = 12, seed: int = 0,
         keep_clear: float = 2.0, walls: bool = True,
         room_margin: float = 0.3,
+        focus_radius: Optional[Tuple[float, float]] = None,
     ) -> "BoxWorld":
         """Random boxes inside the map, keeping the sensor orbit clear.
 
         ``walls``: enclose the scene with 4 walls + floor just inside the
         map AABB (like the cow_and_lady room), so most rays terminate on
         real surfaces instead of escaping to infinity.
+
+        ``focus_radius=(r_min, r_max)``: place box centers in that annulus
+        around the map center instead of uniformly over the AABB.  Maps
+        much larger than the sensor range (the demo preset is 40x40 m with
+        5 m rays) otherwise scatter every box outside sensing range and
+        the replay maps an EMPTY world.
         """
         rng = np.random.default_rng(seed)
         lo = np.asarray(cfg.origin)
@@ -60,8 +67,19 @@ class BoxWorld:
                  (hi[0] - m, hi[1] - m, hi[2] - m)),               # +y wall
             ]
             boxes = [(tuple(a), tuple(b)) for a, b in boxes]
+        center = lo + size / 2
         while len(boxes) < n_boxes + (5 if walls else 0):
-            c = lo + rng.random(3) * size
+            if focus_radius is not None:
+                r0 = max(focus_radius[0], keep_clear)
+                r1 = max(focus_radius[1], r0 + 0.5)
+                r = np.sqrt(rng.uniform(r0 ** 2, r1 ** 2))
+                th = rng.uniform(0, 2 * np.pi)
+                c = np.array([center[0] + r * np.cos(th),
+                              center[1] + r * np.sin(th),
+                              lo[2] + rng.random() * size[2]])
+                c = np.clip(c, lo + 0.1, hi - 0.1)
+            else:
+                c = lo + rng.random(3) * size
             ext = rng.uniform(0.2, 1.2, size=3)
             if np.linalg.norm(c[:2] - (lo[:2] + size[:2] / 2)) < keep_clear:
                 continue
@@ -256,7 +274,13 @@ def make_sequence(
     cfg should already carry intrinsics matching (height, width) — see
     ``scale_intrinsics``.
     """
-    world = BoxWorld.random(cfg, n_boxes=n_boxes, seed=seed, walls=walls)
+    # keep the scene inside sensing range of the orbit: maps much larger
+    # than max_ray (demo: 40x40 m, 5 m rays) would otherwise scatter every
+    # box where no ray can reach and the replay maps an empty world
+    size_xy = min(cfg.map_size[0], cfg.map_size[1]) / 2
+    focus = (2.0, min(size_xy, orbit_radius + 0.8 * cfg.max_ray_length))
+    world = BoxWorld.random(cfg, n_boxes=n_boxes, seed=seed, walls=walls,
+                            focus_radius=focus)
     poses = orbit_poses(
         cfg, n_frames, rate_hz=rate_hz, period=period,
         orbit_radius=orbit_radius, z=orbit_z,

@@ -275,7 +275,7 @@ def update_esdf(
 # Packing: minimize (value * PACK + index) in one int32 reduction.  Values are
 # squared voxel distances (< 2^20 for axes < 512) so value*PACK stays < 2^30.
 _PACK = 512
-_INF_EDT = jnp.int32(1 << 20)
+_INF_EDT = np.int32(1 << 20)   # numpy on purpose: see grid.INF_D2 note
 
 
 def _minplus_axis(vals: jax.Array, axis: int, chunk: int):

@@ -63,7 +63,7 @@ from ..config import FiestaConfig
 from ..grid import pos_to_vox, vox_in_grid, vox_to_idx
 from ..grid import window_mask as make_window_mask
 
-_F32_INF = jnp.float32(jnp.inf)
+_F32_INF = np.float32(np.inf)  # numpy on purpose: see grid.INF_D2 note
 
 
 class ScanResult(NamedTuple):
