@@ -30,7 +30,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-TPU_FULL_TICK_MS = 15.3   # bench.py headline on this chip (full tick)
+TPU_FULL_TICK_MS = 14.4   # bench.py headline on this chip (full tick, exact-EDT default)
 
 
 def main():

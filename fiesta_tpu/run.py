@@ -11,8 +11,12 @@ Usage::
 
     python -m fiesta_tpu.run --preset cow_and_lady --frames 60 \
         --viz-dir /tmp/viz --checkpoint /tmp/map.npz
-    python -m fiesta_tpu.run --replay scans.npz        # recorded sequence
-    python -m fiesta_tpu.run --preset demo --mpc       # with planner loop
+    python -m fiesta_tpu.run --preset cow_and_lady --bag data.bag  # ROS bag
+    python -m fiesta_tpu.run --bag data.bag --bag-info  # list bag topics
+    python -m fiesta_tpu.run --replay scans.npz        # recorded npz
+    python -m fiesta_tpu.run --preset demo --mpc       # one planner solve
+    python -m fiesta_tpu.run --preset small --fly      # closed-loop flight
+    python -m fiesta_tpu.run --scrolling ...           # unbounded world
 
 Recorded sequence format (.npz): arrays ``t [N]``, ``pos [N,3]``,
 ``quat [N,4]`` (wxyz), and either ``clouds [N,P,3]`` (sensor frame) or
