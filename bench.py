@@ -31,9 +31,8 @@ def log(*a):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fiesta_tpu import configure_compile_cache
+    configure_compile_cache()
     import jax.numpy as jnp
 
     from fiesta_tpu import COW_AND_LADY
@@ -173,11 +172,14 @@ def main_with_retry(attempts: int = 3, wait_s: float = 20.0) -> None:
     import os
 
     attempt = int(os.environ.get("FIESTA_BENCH_ATTEMPT", "0"))
+    retryable = ("unable to initialize backend", "deadline exceeded",
+                 "unavailable", "connection", "socket closed")
     try:
         main()
-    except (AssertionError, ValueError, KeyError, TypeError):
-        raise
-    except Exception as e:  # backend/tunnel/RPC errors
+    except Exception as e:
+        msg = str(e).lower()
+        if not any(k in msg for k in retryable):
+            raise  # genuine benchmark failure: surface immediately
         log(f"attempt {attempt + 1}/{attempts} failed: {e!r}")
         if attempt + 1 >= attempts:
             raise

@@ -63,9 +63,8 @@ def error_report(name, dist_m, exact_m, domain, res):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fiesta_tpu import configure_compile_cache
+    configure_compile_cache()
     import jax.numpy as jnp
     from scipy import ndimage
 

@@ -21,9 +21,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fiesta_tpu import configure_compile_cache
+    configure_compile_cache()
 
     from fiesta_tpu import COW_AND_LADY
     from fiesta_tpu.ops.pallas.edt import trunc_vox_for, truncated_edt_d2

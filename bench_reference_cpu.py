@@ -35,9 +35,8 @@ TPU_FULL_TICK_MS = 14.4   # bench.py headline on this chip (full tick, exact-EDT
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fiesta_tpu import configure_compile_cache
+    configure_compile_cache()
     import jax.numpy as jnp
 
     from fiesta_tpu import COW_AND_LADY

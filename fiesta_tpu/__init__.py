@@ -22,6 +22,23 @@ from .grid import (
 
 __version__ = "0.1.0"
 
+
+def configure_compile_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (first full-pipeline
+    compile is 30-60 s on TPU; cached reruns start in seconds).  One
+    definition shared by run.py and every bench/profile script so they all
+    hit the same cache directory.  Override with $FIESTA_COMPILE_CACHE."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        path or os.environ.get("FIESTA_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/jax_tpu")))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __all__ = [
     "FiestaConfig",
     "COW_AND_LADY",

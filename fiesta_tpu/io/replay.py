@@ -68,9 +68,19 @@ class BoxWorld:
             ]
             boxes = [(tuple(a), tuple(b)) for a, b in boxes]
         center = lo + size / 2
+        # a keep_clear at or beyond the clipped sampling reach would reject
+        # every candidate (small maps): shrink it so acceptance is possible
+        reach = float(np.linalg.norm(np.maximum(size[:2] / 2 - 0.1, 0.0)))
+        kc = min(keep_clear, 0.8 * reach)
+        attempts = 0
         while len(boxes) < n_boxes + (5 if walls else 0):
+            attempts += 1
+            if attempts > 1000 * (n_boxes + 5):
+                raise ValueError(
+                    f"could not place {n_boxes} boxes in map {tuple(size)} "
+                    f"with keep_clear={keep_clear} (focus={focus_radius})")
             if focus_radius is not None:
-                r0 = max(focus_radius[0], keep_clear)
+                r0 = max(focus_radius[0], kc)
                 r1 = max(focus_radius[1], r0 + 0.5)
                 r = np.sqrt(rng.uniform(r0 ** 2, r1 ** 2))
                 th = rng.uniform(0, 2 * np.pi)
@@ -81,7 +91,7 @@ class BoxWorld:
             else:
                 c = lo + rng.random(3) * size
             ext = rng.uniform(0.2, 1.2, size=3)
-            if np.linalg.norm(c[:2] - (lo[:2] + size[:2] / 2)) < keep_clear:
+            if np.linalg.norm(c[:2] - (lo[:2] + size[:2] / 2)) < kc:
                 continue
             bmin = np.maximum(c - ext / 2, lo + 0.05)
             bmax = np.minimum(c + ext / 2, lo + size - 0.05)

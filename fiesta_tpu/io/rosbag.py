@@ -867,17 +867,18 @@ def _cli(argv=None) -> int:
         return 0
 
     if args.cmd == "to-npz":
+        import bisect
+
         sensor, pose = pick_topics(bag_connections(args.bag),
                                    args.sensor_topic, args.pose_topic)
-        ts, poss, quats, scans = [], [], [], []
-        last_pose = None
+        pose_ts, poses = [], []
+        raw_scans = []          # (t, scan) in time order
         kind = None
         for m in read_messages(args.bag, topics=[sensor, pose]):
             if m.topic == pose:
-                last_pose = m.msg
+                pose_ts.append(m.t)
+                poses.append((m.msg.pos, m.msg.quat_wxyz))
                 continue
-            if last_pose is None:
-                continue    # scan before any pose: drop (run.py would too)
             if m.datatype == "sensor_msgs/PointCloud2":
                 scan, k = m.msg.xyz(), "cloud"
             else:
@@ -886,9 +887,19 @@ def _cli(argv=None) -> int:
                 kind = k
             elif kind != k:
                 continue    # mixed sensor types: keep the first kind
-            ts.append(m.t)
-            poss.append(last_pose.pos)
-            quats.append(last_pose.quat_wxyz)
+            raw_scans.append((m.t, scan))
+        # match each scan to the latest pose with stamp <= t + 3 ms —
+        # IDENTICAL to the live synchronizer (pipeline.ScanSynchronizer /
+        # Fiesta.h:388-405), so bag->npz->replay equals direct bag replay
+        time_delay = 3e-3
+        ts, poss, quats, scans = [], [], [], []
+        for t, scan in raw_scans:
+            i = bisect.bisect_right(pose_ts, t + time_delay) - 1
+            if i < 0:
+                continue    # no pose yet: drop (the synchronizer does too)
+            ts.append(t)
+            poss.append(poses[i][0])
+            quats.append(poses[i][1])
             scans.append(scan)
         if not ts:
             raise SystemExit("no (pose, scan) pairs found")

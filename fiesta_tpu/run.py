@@ -137,16 +137,9 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    # persistent XLA compilation cache: the full pipeline's first compile is
-    # ~30-60 s on TPU; cached reruns start in seconds
-    import os as _os
+    from . import configure_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("FIESTA_COMPILE_CACHE",
-                        _os.path.expanduser("~/.cache/fiesta_tpu_xla")))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    configure_compile_cache()
 
     if args.checkpoint_every and not args.checkpoint:
         raise SystemExit("--checkpoint-every requires --checkpoint "
@@ -435,12 +428,14 @@ def main(argv=None) -> int:
                 reached = True
                 break
         executed = np.asarray(executed)
-        # the flight was planned in the map's virtual frame (dist grid +
-        # cfg.origin indexing), so query clearance in that same frame via
-        # the base-class method — ScrollingFiestaPipeline.query_distance
-        # takes WORLD positions and would shift the path a second time
-        clear = float(np.asarray(
-            FiestaPipeline.query_distance(pipe, executed)).min())
+        # the flight was planned in the map's virtual frame against `dist`;
+        # query that same grid directly (ScrollingFiestaPipeline's
+        # world-frame query would shift the path a second time, and
+        # re-deriving the distance grid would waste a full-grid pass)
+        from .ops.query import get_distance
+
+        clear = float(np.asarray(get_distance(
+            cfg, dist, jnp.asarray(executed, jnp.float32))).min())
         clear_txt = (f"{clear:.2f} m" if clear < 9999
                      else "unobstructed (no obstacle within range)")
         print(f"fly: {len(executed) - 1} control steps, "

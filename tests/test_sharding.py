@@ -249,3 +249,34 @@ def test_sharded_scroll_matches_single_device():
         np.testing.assert_array_equal(
             np.asarray(getattr(sharded_out, name)),
             np.asarray(getattr(single, name)), err_msg=name)
+
+
+def test_distributed_mesh_single_process():
+    """distributed_mesh boots the jax.distributed runtime (1-process
+    coordination service) and returns the global-device mesh.  Runs in a
+    subprocess: jax.distributed.initialize is process-global state."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=4'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from fiesta_tpu.parallel.sharding import distributed_mesh\n"
+        "mesh = distributed_mesh(coordinator_address='localhost:19751',\n"
+        "                        num_processes=1, process_id=0)\n"
+        "assert mesh.devices.size == 4, mesh\n"
+        "assert mesh.axis_names == ('x',)\n"
+        "print('MESH_OK', mesh.devices.size)\n"
+    )
+    import os
+
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "MESH_OK 4" in out.stdout, (out.stdout, out.stderr)
