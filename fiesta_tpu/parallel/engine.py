@@ -1,0 +1,110 @@
+"""Multi-chip streaming engine: FiestaPipeline over an X-sharded mesh.
+
+``parallel.sharding`` provides the sharded step functions (validated
+bit-exact against single-device on a virtual mesh); this module packages
+them behind the same observe/process/update API as ``FiestaPipeline``, so
+a user with a multi-chip slice runs the SAME application code:
+
+    mesh = sharding.make_mesh(8)          # or distributed_mesh() multi-host
+    pipe = ShardedFiestaPipeline(cfg, mesh=mesh)
+    pipe.observe_pose(...); pipe.observe_cloud(...)
+    pipe.process(); pipe.update()
+    d, g = pipe.query_dist_grad(positions)
+
+Differences from the single-device engine (all forced by SPMD mechanics):
+
+  * scans are buffered host-side and integrated at tick time in fixed-size
+    groups of ``scans_per_tick`` (static shapes; short groups are padded
+    with all-invalid scans, which contribute nothing);
+  * cloud input only (the depth-image consistency filter chains frames,
+    which the replicated-carve layout does not thread through ticks);
+  * rebuild mode with a single-level EDT (the sharded tick's contract;
+    the exact-EDT default config satisfies it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FiestaConfig
+from ..pipeline import FiestaPipeline, UpdateStats
+from ..timing import Timer
+from . import sharding
+
+
+class ShardedFiestaPipeline(FiestaPipeline):
+    """Streaming ESDF engine over a jax device mesh (X-slab sharding)."""
+
+    def __init__(self, cfg: FiestaConfig,
+                 mesh: Optional[object] = None,
+                 n_devices: Optional[int] = None,
+                 scans_per_tick: int = 3):
+        if not cfg.global_update:
+            raise ValueError("the sharded tick supports global updates "
+                             "only (window mode is single-device)")
+        super().__init__(cfg, method="scanline")
+        self.mesh = mesh if mesh is not None else sharding.make_mesh(
+            n_devices or len(jax.devices()))
+        self.state = sharding.shard_state(self.state, self.mesh)
+        self._tick = sharding.sharded_fused_tick(cfg, self.mesh)
+        self.scans_per_tick = int(scans_per_tick)
+        self._pending: list = []   # (pts [P,3] np, valid [P] np, T [4,4] np)
+
+    # -- ingestion: buffer host-side, integrate at tick time ---------------
+
+    def observe_depth(self, t: float, depth_m) -> None:
+        raise NotImplementedError(
+            "ShardedFiestaPipeline takes cloud input; back-project depth "
+            "images host-side or use the single-device pipeline")
+
+    def process(self) -> int:
+        n = 0
+        for payload, _, pos, quat in self.sync.drain():
+            kind, data = payload
+            if kind != "cloud":
+                raise NotImplementedError("cloud input only (see class doc)")
+            if isinstance(data, tuple):   # preloaded device pair
+                pts, valid = (np.asarray(data[0]), np.asarray(data[1]))
+            else:
+                pts = np.asarray(data, np.float32)
+                valid = np.isfinite(pts).all(axis=-1)
+                pts, valid = self._pad_cloud_np(
+                    np.ascontiguousarray(pts, np.float32), valid)
+            self._pending.append(
+                (pts, valid, self._build_transform(pos, quat)))
+            self.cur_pos = self._to_virtual(pos)
+            self.new_msg = True
+            n += 1
+        return n
+
+    # -- the sharded tick ---------------------------------------------------
+
+    def update(self, max_iters: int = 0) -> Optional[UpdateStats]:
+        if not self.new_msg:
+            return None
+        self.new_msg = False
+        self.esdf_cnt += 1
+        k = self.scans_per_tick
+        p = self.cfg.max_points_per_scan
+        last_stats: Optional[UpdateStats] = None
+        with Timer("UpdateESDF"):
+            while self._pending:
+                chunk = self._pending[:k]
+                self._pending = self._pending[k:]
+                pad = k - len(chunk)
+                pts = np.stack([c[0] for c in chunk]
+                               + [np.zeros((p, 3), np.float32)] * pad)
+                valids = np.stack([c[1] for c in chunk]
+                                  + [np.zeros(p, bool)] * pad)
+                tfs = np.stack([c[2] for c in chunk]
+                               + [np.eye(4)] * pad).astype(np.float32)
+                self.state, last_stats = self._tick(
+                    self.state, jnp.asarray(pts), jnp.asarray(valids),
+                    jnp.asarray(tfs),
+                    jnp.asarray(self.cur_pos, jnp.float32),
+                )
+        return last_stats

@@ -280,3 +280,80 @@ def test_distributed_mesh_single_process():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "MESH_OK 4" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_sharded_pipeline_matches_single_device_engine():
+    """ShardedFiestaPipeline (observe/process/update API on an 8-device
+    mesh) reproduces the single-device fused ticks bit-exactly."""
+    import dataclasses
+
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.parallel.engine import ShardedFiestaPipeline
+    from fiesta_tpu.pipeline import FiestaPipeline
+
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(
+            FiestaConfig(
+                resolution=0.1,
+                origin=(-3.2, -2.0, -1.2),
+                map_size=(6.4, 4.0, 2.4),      # lx = 8 on 8 devices
+                min_ray_length=0.2,
+                max_ray_length=1.5,
+                trunc_dist=1.2,
+                edt_fine_dist=1.2,
+                esdf_mode="rebuild",
+                global_update=True,
+            ), 60, 80),
+        max_points_per_scan=60 * 80,
+    )
+    _, frames = replay.make_sequence(
+        cfg, n_frames=6, n_boxes=4, seed=3, height=60, width=80,
+        orbit_radius=0.8, orbit_z=0.3, period=6.0)
+
+    def drive(pipe):
+        for i, (t, (pos, quat), scan) in enumerate(frames):
+            pipe.observe_pose(t, pos, quat)
+            pipe.observe_cloud(t, scan)
+            if i + 1 < len(frames):
+                pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+            else:
+                # flush: the synchronizer releases a scan only once a
+                # NEWER pose exists (run.py ends replays the same way)
+                pipe.observe_pose(t + 1.0, pos, quat)
+            pipe.process()
+            if i % 3 == 2:
+                pipe.update()
+        return pipe
+
+    mesh = sharding.make_mesh(8)
+    sp = drive(ShardedFiestaPipeline(cfg, mesh=mesh, scans_per_tick=3))
+
+    # single-device reference: the same 3-scan fused ticks
+    from fiesta_tpu.pipeline import fused_batch_step
+    from fiesta_tpu.ops.depth import pose_to_matrix
+
+    ref = FiestaPipeline(cfg, method="scanline")
+    for i in range(0, 6, 3):
+        trio = frames[i:i + 3]
+        pts, vals, tfs = [], [], []
+        for t, (pos, quat), scan in trio:
+            p, v = ref._pad_cloud_np(
+                np.ascontiguousarray(scan, np.float32),
+                np.isfinite(scan).all(axis=-1))
+            pts.append(p)
+            vals.append(v)
+            tfs.append(np.asarray(pose_to_matrix(pos, quat)))
+        ref.state, _ = fused_batch_step(
+            cfg, ref.state, jnp.asarray(np.stack(pts)),
+            jnp.asarray(np.stack(vals)),
+            jnp.asarray(np.stack(tfs), jnp.float32),
+            jnp.asarray(trio[-1][1][0], jnp.float32),
+            use_window=False, method="scanline")
+
+    np.testing.assert_array_equal(np.asarray(sp.state.d2),
+                                  np.asarray(ref.state.d2))
+    np.testing.assert_array_equal(np.asarray(sp.state.logodds),
+                                  np.asarray(ref.state.logodds))
+    # queries work transparently on the sharded state
+    d = np.asarray(sp.query_distance(np.asarray([[0.0, 0.0, 0.0]])))
+    assert d.shape == (1,)
