@@ -17,6 +17,7 @@ Usage::
     python -m fiesta_tpu.run --preset demo --mpc       # one planner solve
     python -m fiesta_tpu.run --preset small --fly      # closed-loop flight
     python -m fiesta_tpu.run --scrolling ...           # unbounded world
+    python -m fiesta_tpu.run --platform cpu --devices 8 ...  # sharded engine
 
 Recorded sequence format (.npz): arrays ``t [N]``, ``pos [N,3]``,
 ``quat [N,4]`` (wxyz), and either ``clouds [N,P,3]`` (sensor frame) or
@@ -91,6 +92,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX backend (the JAX_PLATFORMS env var is "
                         "not honored when a TPU plugin is present)")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="run the SHARDED engine over an N-device mesh "
+                        "(X-slab grid sharding; with --platform cpu an "
+                        "N-device virtual mesh is created, the multi-chip "
+                        "dry-run substitute)")
     return p
 
 
@@ -132,6 +138,16 @@ def main(argv=None) -> int:
 
         rosbag.print_bag_info(rosbag.bag_info(args.bag))
         return 0
+
+    if args.devices and args.platform == "cpu":
+        # must precede the first jax import in this process
+        import os as _os
+
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.devices}").strip()
 
     import jax
 
@@ -192,7 +208,24 @@ def main(argv=None) -> int:
         frames = seq
         kind = "cloud"
 
-    if args.scrolling:
+    if args.devices:
+        if args.scrolling:
+            raise SystemExit("--devices does not combine with --scrolling "
+                             "(the sharded engine covers a fixed AABB)")
+        from .parallel.engine import ShardedFiestaPipeline
+        from .parallel.sharding import make_mesh
+
+        n_avail = len(jax.devices())
+        if n_avail < args.devices:
+            raise SystemExit(
+                f"--devices {args.devices} but only {n_avail} devices "
+                "visible (use --platform cpu for a virtual mesh)")
+        pipe = ShardedFiestaPipeline(
+            cfg, mesh=make_mesh(args.devices),
+            scans_per_tick=args.update_every)
+        print(f"sharded engine: {args.devices}-device X-slab mesh",
+              file=sys.stderr)
+    elif args.scrolling:
         from .scrolling import ScrollingFiestaPipeline
 
         pipe = ScrollingFiestaPipeline(cfg, method=args.method)

@@ -357,3 +357,24 @@ def test_sharded_pipeline_matches_single_device_engine():
     # queries work transparently on the sharded state
     d = np.asarray(sp.query_distance(np.asarray([[0.0, 0.0, 0.0]])))
     assert d.shape == (1,)
+
+
+def test_cli_devices_flag_runs_sharded_engine():
+    """run.py --devices N drives ShardedFiestaPipeline on a virtual mesh.
+    Subprocess: the device-count XLA flag must precede jax init."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "fiesta_tpu.run", "--preset", "small",
+         "--platform", "cpu", "--devices", "4", "--frames", "6"],
+        capture_output=True, text=True, env=env, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "sharded engine: 4-device" in out.stderr
+    assert "processed 6 frames" in out.stderr
