@@ -172,14 +172,15 @@ def main_with_retry(attempts: int = 3, wait_s: float = 20.0) -> None:
     import os
 
     attempt = int(os.environ.get("FIESTA_BENCH_ATTEMPT", "0"))
-    retryable = ("unable to initialize backend", "deadline exceeded",
-                 "unavailable", "connection", "socket closed")
     try:
         main()
+    except (AssertionError, ValueError, KeyError, TypeError):
+        raise  # benchmark-logic failure: surface immediately
     except Exception as e:
-        msg = str(e).lower()
-        if not any(k in msg for k in retryable):
-            raise  # genuine benchmark failure: surface immediately
+        # Anything else (RuntimeError/XlaRuntimeError/RPC errors) is
+        # retried: transient tunnel faults come in too many spellings to
+        # match reliably, and a real failure still surfaces on the final
+        # attempt — a few minutes late beats a voided recorded benchmark.
         log(f"attempt {attempt + 1}/{attempts} failed: {e!r}")
         if attempt + 1 >= attempts:
             raise

@@ -867,17 +867,29 @@ def _cli(argv=None) -> int:
         return 0
 
     if args.cmd == "to-npz":
-        import bisect
+        # run the ACTUAL live synchronizer over the stream (not a
+        # re-implementation), so bag -> npz -> replay keeps exactly the
+        # scans (and pose matches) that `run.py --bag` would
+        from ..pipeline import ScanSynchronizer
 
         sensor, pose = pick_topics(bag_connections(args.bag),
                                    args.sensor_topic, args.pose_topic)
-        pose_ts, poses = [], []
-        raw_scans = []          # (t, scan) in time order
+        sync = ScanSynchronizer()
         kind = None
+        last_pose = None
+        ts, poss, quats, scans = [], [], [], []
+
+        def drain():
+            for (t_scan, scan), _mt, mpos, mquat in sync.drain():
+                ts.append(t_scan)
+                poss.append(mpos)
+                quats.append(mquat)
+                scans.append(scan)
+
         for m in read_messages(args.bag, topics=[sensor, pose]):
             if m.topic == pose:
-                pose_ts.append(m.t)
-                poses.append((m.msg.pos, m.msg.quat_wxyz))
+                sync.push_pose(m.t, m.msg.pos, m.msg.quat_wxyz)
+                last_pose = (m.t, m.msg.pos, m.msg.quat_wxyz)
                 continue
             if m.datatype == "sensor_msgs/PointCloud2":
                 scan, k = m.msg.xyz(), "cloud"
@@ -887,20 +899,11 @@ def _cli(argv=None) -> int:
                 kind = k
             elif kind != k:
                 continue    # mixed sensor types: keep the first kind
-            raw_scans.append((m.t, scan))
-        # match each scan to the latest pose with stamp <= t + 3 ms —
-        # IDENTICAL to the live synchronizer (pipeline.ScanSynchronizer /
-        # Fiesta.h:388-405), so bag->npz->replay equals direct bag replay
-        time_delay = 3e-3
-        ts, poss, quats, scans = [], [], [], []
-        for t, scan in raw_scans:
-            i = bisect.bisect_right(pose_ts, t + time_delay) - 1
-            if i < 0:
-                continue    # no pose yet: drop (the synchronizer does too)
-            ts.append(t)
-            poss.append(poses[i][0])
-            quats.append(poses[i][1])
-            scans.append(scan)
+            sync.push_depth(m.t, (m.t, scan))
+            drain()
+        if last_pose is not None:   # flush, exactly as run.py --bag does
+            sync.push_pose(last_pose[0] + 1.0, *last_pose[1:])
+            drain()
         if not ts:
             raise SystemExit("no (pose, scan) pairs found")
         shapes = {s.shape for s in scans}

@@ -67,13 +67,12 @@ class ShardedFiestaPipeline(FiestaPipeline):
             kind, data = payload
             if kind != "cloud":
                 raise NotImplementedError("cloud input only (see class doc)")
-            if isinstance(data, tuple):   # preloaded device pair
-                pts, valid = (np.asarray(data[0]), np.asarray(data[1]))
+            if isinstance(data, tuple):
+                # preloaded device pair: keep on device (the preload
+                # contract is zero host<->device traffic at stream time)
+                pts, valid = data
             else:
-                pts = np.asarray(data, np.float32)
-                valid = np.isfinite(pts).all(axis=-1)
-                pts, valid = self._pad_cloud_np(
-                    np.ascontiguousarray(pts, np.float32), valid)
+                pts, valid = self._cloud_to_np(data)
             self._pending.append(
                 (pts, valid, self._build_transform(pos, quat)))
             self.cur_pos = self._to_virtual(pos)
@@ -96,15 +95,17 @@ class ShardedFiestaPipeline(FiestaPipeline):
                 chunk = self._pending[:k]
                 self._pending = self._pending[k:]
                 pad = k - len(chunk)
-                pts = np.stack([c[0] for c in chunk]
-                               + [np.zeros((p, 3), np.float32)] * pad)
-                valids = np.stack([c[1] for c in chunk]
-                                  + [np.zeros(p, bool)] * pad)
-                tfs = np.stack([c[2] for c in chunk]
-                               + [np.eye(4)] * pad).astype(np.float32)
+                pts = jnp.stack(
+                    [jnp.asarray(c[0], jnp.float32) for c in chunk]
+                    + [jnp.zeros((p, 3), jnp.float32)] * pad)
+                valids = jnp.stack(
+                    [jnp.asarray(c[1]) for c in chunk]
+                    + [jnp.zeros(p, bool)] * pad)
+                tfs = jnp.asarray(
+                    np.stack([c[2] for c in chunk]
+                             + [np.eye(4)] * pad), jnp.float32)
                 self.state, last_stats = self._tick(
-                    self.state, jnp.asarray(pts), jnp.asarray(valids),
-                    jnp.asarray(tfs),
+                    self.state, pts, valids, tfs,
                     jnp.asarray(self.cur_pos, jnp.float32),
                 )
         return last_stats

@@ -35,8 +35,13 @@ def _stencil_reach(dirs) -> int:
 
 
 def make_mesh(n_devices: int) -> Mesh:
-    devices = np.array(jax.devices()[:n_devices])
-    return Mesh(devices, ("x",))
+    avail = jax.devices()
+    if len(avail) < n_devices:
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(avail)} "
+            "devices are visible (set XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N for a virtual mesh)")
+    return Mesh(np.array(avail[:n_devices]), ("x",))
 
 
 def distributed_mesh(

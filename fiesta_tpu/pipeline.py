@@ -456,6 +456,14 @@ class FiestaPipeline:
         t_wb = np.asarray(pose_to_matrix(pos, quat))
         return t_wb @ self.T_D_B @ self.T_B_C    # Fiesta.h:419
 
+    def _cloud_to_np(self, data):
+        """Raw cloud -> padded host (pts [P,3] f32, valid [P] bool) pair
+        (the ingest normalization shared by every engine)."""
+        pts = np.asarray(data, np.float32)
+        valid = np.isfinite(pts).all(axis=-1)
+        return self._pad_cloud_np(
+            np.ascontiguousarray(pts, np.float32), valid)
+
     def _pad_cloud_np(self, pts: np.ndarray, valid: np.ndarray):
         """Host-side pad/subsample to the static scan size."""
         n = self.cfg.max_points_per_scan
@@ -537,11 +545,9 @@ class FiestaPipeline:
             elif isinstance(data, tuple):      # pre-uploaded device pair
                 pts_j, valid_j = data
             else:
-                pts_cam = np.asarray(data, np.float32)
-                valid = np.isfinite(pts_cam).all(axis=-1)
-                pts_j, valid_j = self._pad_cloud(
-                    np.ascontiguousarray(pts_cam, np.float32), valid
-                )
+                pts_np, valid_np = self._cloud_to_np(data)
+                pts_j = jnp.asarray(pts_np, jnp.float32)
+                valid_j = jnp.asarray(valid_np)
             with Timer("raycasting"):
                 vpos = self._to_virtual(pos)
                 win = None

@@ -258,6 +258,11 @@ def test_distributed_mesh_single_process():
     import subprocess
     import sys
 
+    import socket
+
+    with socket.socket() as sk:     # free port: avoids collisions between
+        sk.bind(("localhost", 0))   # concurrent test runs
+        port = sk.getsockname()[1]
     code = (
         "import os\n"
         "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
@@ -266,7 +271,7 @@ def test_distributed_mesh_single_process():
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "from fiesta_tpu.parallel.sharding import distributed_mesh\n"
-        "mesh = distributed_mesh(coordinator_address='localhost:19751',\n"
+        f"mesh = distributed_mesh(coordinator_address='localhost:{port}',\n"
         "                        num_processes=1, process_id=0)\n"
         "assert mesh.devices.size == 4, mesh\n"
         "assert mesh.axis_names == ('x',)\n"
