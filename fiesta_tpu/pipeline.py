@@ -89,6 +89,28 @@ def integrate_scan(
     return new_state, res
 
 
+def rebuild_d2(cfg: FiestaConfig, occupied: jax.Array) -> jax.Array:
+    """The production distance derivation: truncated exact EDT of the
+    current occupancy (hierarchical far field when ``edt_fine_dist``
+    enables it).  Shared by the update tick and by archive restores;
+    trace-time function — wrap in jit for eager callers."""
+    from .ops.pallas.edt import (
+        hierarchical_edt_d2,
+        trunc_vox_for,
+        truncated_edt_d2,
+    )
+
+    t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    gshape = cfg.grid_shape
+    if t_fine < t_total and all(g % 2 == 0 for g in gshape):
+        return hierarchical_edt_d2(occupied, t_fine, t_total)
+    return truncated_edt_d2(occupied, t_total)
+
+
+rebuild_d2_jit = partial(jax.jit, static_argnames=("cfg",))(rebuild_d2)
+
+
 @partial(jax.jit, static_argnames=("cfg", "use_window", "max_iters"),
          donate_argnames=("state",))
 def esdf_update(
@@ -110,22 +132,7 @@ def esdf_update(
         window_mask=wmask,
     )
     if cfg.esdf_mode == "rebuild":
-        from .ops.pallas.edt import (
-            hierarchical_edt_d2,
-            trunc_vox_for,
-            truncated_edt_d2,
-        )
-
-        t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
-        t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
-        gshape = cfg.grid_shape
-        hierarchical = (
-            t_fine < t_total and all(g % 2 == 0 for g in gshape)
-        )
-        if hierarchical:
-            d2 = hierarchical_edt_d2(fr.occupied, t_fine, t_total)
-        else:
-            d2 = truncated_edt_d2(fr.occupied, t_total)
+        d2 = rebuild_d2(cfg, fr.occupied)
         closest = state.closest
         sweeps = jnp.int32(0)
     else:

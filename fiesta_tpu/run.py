@@ -62,6 +62,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="unbounded-world mode: the grid recenters around "
                         "the robot (the reference's HASH_TABLE analog); "
                         "the final report prints the world origin")
+    p.add_argument("--persist", metavar="ARCHIVE.npz", nargs="?",
+                   const="", default=None,
+                   help="with --scrolling: persistent explored world via a "
+                        "host tile directory (the reference HASH_TABLE "
+                        "retains all explored blocks); optional path "
+                        "loads/saves the directory across runs")
     p.add_argument("--update-every", type=int, default=3,
                    help="ESDF tick every N frames (10 Hz at 30 Hz sensor)")
     p.add_argument("--viz-dir", help="dump slice images + occupied cloud")
@@ -130,6 +136,11 @@ PRESET_TOPICS = {
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    if args.persist is not None and not args.scrolling:
+        raise SystemExit("--persist requires --scrolling (the fixed-AABB "
+                         "grid never evicts, so the whole world is already "
+                         "resident; use --checkpoint to persist it)")
 
     if args.bag_info:
         if not args.bag:
@@ -238,7 +249,21 @@ def main(argv=None) -> int:
     elif args.scrolling:
         from .scrolling import ScrollingFiestaPipeline
 
-        pipe = ScrollingFiestaPipeline(cfg, method=args.method)
+        archive = None
+        if args.persist is not None:
+            import os as _os
+
+            from .archive import TileArchive
+
+            if args.persist and _os.path.exists(args.persist):
+                archive = TileArchive.from_file(args.persist)
+                print(f"loaded archive: {archive.num_tiles} tiles, "
+                      f"{archive.seen_voxels()} seen voxels",
+                      file=sys.stderr)
+            else:
+                archive = TileArchive()
+        pipe = ScrollingFiestaPipeline(cfg, method=args.method,
+                                       archive=archive)
     else:
         pipe = FiestaPipeline(cfg, method=args.method)
     if args.preset == "cow_and_lady" and (args.replay or args.bag):
@@ -386,6 +411,21 @@ def main(argv=None) -> int:
         print(f"scrolling grid: {pipe.scroll_count} recenters, world "
               f"origin now {np.round(pipe.world_origin, 3)} (checkpoints "
               "store the map in this frame)", file=sys.stderr)
+        if pipe.archive is not None:
+            # archive the CURRENT window too so a saved directory holds the
+            # full explored world, not just evicted strips
+            pipe.archive.store(
+                pipe.origin_vox,
+                np.asarray(pipe.state.logodds), np.asarray(pipe.state.seen),
+            )
+            print(f"world archive: {pipe.archive.num_tiles} tiles, "
+                  f"{pipe.archive.seen_voxels()} seen voxels, "
+                  f"{pipe.restore_count} restores "
+                  f"({pipe.archive.nbytes() / 1e6:.1f} MB host)",
+                  file=sys.stderr)
+            if args.persist:
+                pipe.archive.save(args.persist)
+                print(f"archive saved to {args.persist}", file=sys.stderr)
     print(Timing.print_table(), file=sys.stderr)
 
     if args.ground_truth_check:

@@ -84,15 +84,30 @@ class ScrollingFiestaPipeline(FiestaPipeline):
     The dense grid covers a moving box; ``origin_vox`` tracks its world
     anchor in voxels.  Sensor inputs are shifted into the virtual frame, so
     every op (carve, fusion, EDT, queries) runs unchanged.
+
+    With ``archive`` set (a ``TileArchive`` instance, or ``True`` for a
+    default one) the explored world is PERSISTENT, like the reference's
+    hash-block map (``#ifdef HASH_TABLE``, src/ESDFMap.cpp:128-167):
+    recenters archive the evicted strips to the host tile directory and
+    restore previously-explored content in the entered strips, then
+    re-derive distances.  Recentering then moves in FIXED grid/4 steps so
+    every strip transfer reuses one compiled program per axis/direction;
+    host<->device traffic happens only at recenter events.
     """
 
     def __init__(self, cfg: FiestaConfig, method: str = "scanline",
-                 recenter_fraction: float = 0.25):
+                 recenter_fraction: float = 0.25, archive=None):
         super().__init__(cfg, method=method)
         self.origin_vox = np.zeros(3, np.int64)
         # recenter when the robot leaves the central box of this fraction
         self.recenter_fraction = recenter_fraction
         self.scroll_count = 0
+        if archive is True:
+            from .archive import TileArchive
+
+            archive = TileArchive()
+        self.archive = archive
+        self.restore_count = 0
 
     # -- frame bookkeeping -------------------------------------------------
 
@@ -113,14 +128,154 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         off = np.asarray(robot_pos, np.float64) - center
         if np.all(np.abs(off) <= self.recenter_fraction * half):
             return False
+        if self.archive is not None:
+            return self._recenter_persistent(robot_pos)
         shift_vox = np.round(off / cfg.resolution).astype(np.int64)
         # clamp so the dynamic-slice shift stays within +-grid
         lims = np.asarray(cfg.grid_shape, np.int64) - 1
         shift_vox = np.clip(shift_vox, -lims, lims)
+        self._apply_scroll(shift_vox)
+        return True
+
+    def _apply_scroll(self, shift_vox: np.ndarray) -> None:
         self.state = scroll_state(self.state, jnp.asarray(shift_vox, jnp.int32))
         self.origin_vox = self.origin_vox + shift_vox
+        # rebase the cached robot position into the new virtual frame (the
+        # next processed frame overwrites it; this keeps the local-update
+        # window correct when a scroll fires without a matched scan)
+        self.cur_pos = np.asarray(self.cur_pos) \
+            - shift_vox * self.cfg.resolution
         self.scroll_count += 1
-        return True
+
+    # -- persistent-world plumbing (reference C3: HASH_TABLE block map) ----
+
+    def _recenter_persistent(self, robot_pos) -> bool:
+        """Recenter in FIXED steps of grid/4 per axis.
+
+        One step size means the evicted/entered strip transfers compile to
+        one program per axis and direction — a variable-shape shift would
+        recompile the host<->device strip programs on every recenter
+        (20-40 s each through the TPU tunnel).  A far-away robot takes
+        several steps of the same programs; distances re-derive once at
+        the end.
+        """
+        cfg = self.cfg
+        n = np.asarray(cfg.grid_shape, np.int64)
+        step = np.maximum(n // 4, 1)
+        half = np.asarray(cfg.map_size) / 2
+        restored = False
+        scrolled = False
+        for _ in range(64):
+            center = self.world_origin + half
+            off = np.asarray(robot_pos, np.float64) - center
+            off_vox = np.abs(off) / cfg.resolution
+            # the step/2 gate guarantees each step strictly shrinks |off|
+            # (no oscillation when recenter_fraction < 0.25); the robot
+            # ends within max(threshold, step/2) of center
+            trig = (np.abs(off) > self.recenter_fraction * half) \
+                & (off_vox > step / 2)
+            if not trig.any():
+                break
+            shift_vox = np.where(trig, np.sign(off).astype(np.int64) * step,
+                                 0)
+            self._archive_evicted(shift_vox)
+            self._apply_scroll(shift_vox)
+            restored |= self._restore_entered(shift_vox)
+            scrolled = True
+        if restored:
+            self._rederive_distances()
+        return scrolled
+
+    def _axis_strip(self, shift_vox, axis: int, entering: bool):
+        """Slices of the strip along ``axis`` that leaves (entering=False,
+        old frame) or enters (entering=True, new frame) the grid."""
+        s = int(shift_vox[axis])
+        n = self.cfg.grid_shape[axis]
+        sl = [slice(None)] * 3
+        if entering:
+            sl[axis] = slice(n - s, n) if s > 0 else slice(0, -s)
+        else:
+            sl[axis] = slice(0, s) if s > 0 else slice(n + s, n)
+        return tuple(sl)
+
+    def _archive_evicted(self, shift_vox: np.ndarray) -> None:
+        """Pull the strips about to leave the grid to the host directory.
+
+        Up to three strips (one per shifted axis); corner overlaps store
+        identical data twice, which is idempotent.  This is the only
+        device->host readback in the pipeline and fires at recenter
+        cadence (minutes apart), never per scan.
+        """
+        for ax in range(3):
+            if int(shift_vox[ax]) == 0:
+                continue
+            sl = self._axis_strip(shift_vox, ax, entering=False)
+            lo_np, seen_np = jax.device_get(
+                (self.state.logodds[sl], self.state.seen[sl])
+            )
+            starts = np.array([s.indices(n)[0] for s, n in
+                               zip(sl, self.cfg.grid_shape)], np.int64)
+            self.archive.store(self.origin_vox + starts, lo_np, seen_np)
+
+    def _restore_entered(self, shift_vox: np.ndarray) -> bool:
+        """Fill the strips that entered the grid from the directory.
+
+        Returns whether anything was restored; the caller re-derives
+        distances once after its recenter loop settles."""
+        import dataclasses
+
+        cfg = self.cfg
+        restored = False
+        for ax in range(3):
+            if int(shift_vox[ax]) == 0:
+                continue
+            sl = self._axis_strip(shift_vox, ax, entering=True)
+            idx = [s.indices(n) for s, n in zip(sl, cfg.grid_shape)]
+            shape = tuple(i[1] - i[0] for i in idx)
+            starts = np.array([i[0] for i in idx], np.int64)
+            lo_np, seen_np, any_data = self.archive.load(
+                self.origin_vox + starts, shape
+            )
+            if not any_data:
+                continue
+            self.state = dataclasses.replace(
+                self.state,
+                logodds=self.state.logodds.at[sl].set(jnp.asarray(lo_np)),
+                seen=self.state.seen.at[sl].set(jnp.asarray(seen_np)),
+            )
+            restored = True
+        return restored
+
+    def _rederive_distances(self) -> None:
+        """Re-derive d2/closest from the post-restore occupancy."""
+        import dataclasses
+
+        from .grid import occupied_grid
+        from .ops import esdf
+
+        cfg = self.cfg
+        self.restore_count += 1
+        occ = occupied_grid(cfg, self.state.logodds)
+        if cfg.esdf_mode == "rebuild":
+            from .pipeline import rebuild_d2_jit
+
+            self.state = dataclasses.replace(
+                self.state, d2=rebuild_d2_jit(cfg, occ)
+            )
+        else:
+            # seed every occupied voxel whose distance is not already zero
+            # (frame-independent: covers all restored obstacles) and relax
+            # globally to fixpoint; apply_occupancy_changes resets any
+            # voxel whose recorded closest obstacle was evicted, so the
+            # kept region re-settles against the restored content too
+            insert = occ & (self.state.d2 != 0)
+            d2, closest, _ = esdf.update_esdf(
+                self.state.d2, self.state.closest, occ, insert,
+                jnp.zeros(cfg.grid_shape, bool), None, cfg.relax_dirs,
+            )
+            self.state = dataclasses.replace(
+                self.state, d2=d2, closest=closest
+            )
 
     # -- overridden ingestion (shift world inputs into the virtual frame) --
 

@@ -1,0 +1,198 @@
+"""Persistent-world tile archive tests (reference C3: HASH_TABLE block map
+retains the entire explored world, src/ESDFMap.cpp:128-167, 704-783)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fiesta_tpu import FiestaConfig
+from fiesta_tpu.archive import TileArchive
+from fiesta_tpu.grid import occupied_grid
+from fiesta_tpu.scrolling import ScrollingFiestaPipeline
+
+
+# ---------------------------------------------------------------------------
+# TileArchive unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_archive_roundtrip_across_tiles_and_negative_coords():
+    arch = TileArchive(tile_shape=(8, 8, 4))
+    rng = np.random.default_rng(0)
+    shape = (13, 9, 6)                      # straddles tile boundaries
+    lo = rng.normal(size=shape).astype(np.float32)
+    seen = rng.random(shape) < 0.7
+    world_lo = (-5, -3, -2)                 # negative world voxels
+    arch.store(world_lo, lo, seen)
+
+    got_lo, got_seen, any_data = arch.load(world_lo, shape)
+    assert any_data
+    np.testing.assert_array_equal(got_seen, seen)
+    # unseen voxels inside allocated tiles read back as unknown only if the
+    # stored value was unknown; the store wrote them verbatim
+    np.testing.assert_array_equal(got_lo, lo)
+
+    # a disjoint never-touched region is all-unknown
+    far_lo, far_seen, far_any = arch.load((1000, 1000, 1000), (4, 4, 4))
+    assert not far_any
+    assert not far_seen.any() and (far_lo == 0).all()
+
+
+def test_archive_skips_unseen_chunks():
+    arch = TileArchive(tile_shape=(8, 8, 8))
+    lo = np.zeros((16, 8, 8), np.float32)
+    seen = np.zeros((16, 8, 8), bool)
+    seen[2, 3, 4] = True                    # only the first tile has content
+    arch.store((0, 0, 0), lo, seen)
+    assert arch.num_tiles == 1
+    assert arch.seen_voxels() == 1
+
+    # but an existing tile DOES take an all-unseen overwrite (forgetting
+    # previously-archived content must stick)
+    arch.store((0, 0, 0), lo, np.zeros_like(seen))
+    assert arch.num_tiles == 1
+    assert arch.seen_voxels() == 0
+
+
+def test_archive_partial_tile_update_preserves_rest():
+    arch = TileArchive(tile_shape=(8, 8, 8))
+    full = np.full((8, 8, 8), 2.0, np.float32)
+    arch.store((0, 0, 0), full, np.ones((8, 8, 8), bool))
+    # overwrite one corner box only
+    arch.store((0, 0, 0), np.full((2, 2, 2), -1.0, np.float32),
+               np.ones((2, 2, 2), bool))
+    got, _, _ = arch.load((0, 0, 0), (8, 8, 8))
+    assert (got[:2, :2, :2] == -1.0).all()
+    assert (got[4:, 4:, 4:] == 2.0).all()
+
+
+def test_archive_file_roundtrip(tmp_path):
+    arch = TileArchive(tile_shape=(4, 4, 4))
+    rng = np.random.default_rng(1)
+    lo = rng.normal(size=(9, 5, 4)).astype(np.float32)
+    seen = np.ones((9, 5, 4), bool)
+    arch.store((-7, 2, 0), lo, seen)
+    path = str(tmp_path / "world.npz")
+    arch.save(path)
+
+    back = TileArchive.from_file(path)
+    assert back.tile_shape == (4, 4, 4)
+    got, got_seen, any_data = back.load((-7, 2, 0), (9, 5, 4))
+    assert any_data
+    np.testing.assert_array_equal(got, lo)
+    np.testing.assert_array_equal(got_seen, seen)
+
+
+# ---------------------------------------------------------------------------
+# Persistent scrolling pipeline: leave, come back, world remembered
+# ---------------------------------------------------------------------------
+
+CFG = FiestaConfig(
+    resolution=0.1,
+    origin=(-2.0, -2.0, -1.0),
+    map_size=(4.0, 4.0, 2.0),          # 40 x 40 x 20 grid
+    trunc_dist=2.0,
+    edt_fine_dist=2.0,
+)
+
+
+def _plant_obstacle(pipe):
+    """Fully-observed map with one obstacle at world (0.05, 0.05, 0.05)
+    == world voxel (20, 20, 10); distances derived as an update tick
+    would derive them."""
+    lo = np.zeros(pipe.cfg.grid_shape, np.float32)
+    lo[20, 20, 10] = 5.0
+    pipe.state = dataclasses.replace(
+        pipe.state,
+        logodds=jnp.asarray(lo),
+        seen=jnp.ones(pipe.cfg.grid_shape, bool),
+    )
+    _derive(pipe)
+
+
+def _derive(pipe):
+    occ = occupied_grid(pipe.cfg, pipe.state.logodds)
+    if pipe.cfg.esdf_mode == "rebuild":
+        from fiesta_tpu.pipeline import rebuild_d2_jit
+
+        pipe.state = dataclasses.replace(
+            pipe.state, d2=rebuild_d2_jit(pipe.cfg, occ))
+    else:
+        from fiesta_tpu.ops import esdf
+
+        d2, closest, _ = esdf.update_esdf(
+            pipe.state.d2, pipe.state.closest, occ, occ,
+            jnp.zeros_like(occ), None, pipe.cfg.relax_dirs)
+        pipe.state = dataclasses.replace(pipe.state, d2=d2, closest=closest)
+
+
+def _walk(pipe, x):
+    """Recenter toward world x until the grid settles."""
+    for _ in range(64):
+        if not pipe.maybe_recenter(np.array([x, 0.05, 0.05])):
+            return
+    raise AssertionError("recentering did not settle")
+
+
+@pytest.mark.parametrize("esdf_mode", ["rebuild", "incremental"])
+def test_persistent_scroll_restores_explored_world(esdf_mode):
+    cfg = dataclasses.replace(CFG, esdf_mode=esdf_mode)
+    pipe = ScrollingFiestaPipeline(cfg, archive=True)
+    _plant_obstacle(pipe)
+
+    probe = np.array([[0.05, 0.55, 0.05]])      # 0.5 m from the obstacle
+    d_before = float(pipe.query_distance(probe)[0])
+    assert abs(d_before - 0.5) < 1e-5
+
+    # fly +x far enough that the obstacle's column is evicted
+    _walk(pipe, 8.0)
+    assert pipe.scroll_count > 0
+    assert pipe.origin_vox[0] > 21, "obstacle must have left the grid"
+    assert pipe.archive.num_tiles > 0
+    assert not bool(occupied_grid(cfg, pipe.state.logodds).any())
+
+    # fly back: the archived world must be restored
+    _walk(pipe, 0.05)
+    assert pipe.restore_count > 0
+    gv = np.array([20, 20, 10]) - pipe.origin_vox
+    assert (gv >= 0).all() and (gv < np.array(cfg.grid_shape)).all()
+    assert float(pipe.state.logodds[tuple(gv)]) == 5.0
+    assert bool(pipe.state.seen[tuple(gv)])
+    assert int(pipe.state.d2[tuple(gv)]) == 0
+
+    d_after = float(pipe.query_distance(probe)[0])
+    assert abs(d_after - d_before) < 1e-5
+
+
+def test_plain_scrolling_forgets_but_archive_remembers():
+    """Contrast test: without an archive the same trip loses the world."""
+    pipe = ScrollingFiestaPipeline(CFG)
+    _plant_obstacle(pipe)
+    _walk(pipe, 8.0)
+    _walk(pipe, 0.05)
+    assert not bool(occupied_grid(CFG, pipe.state.logodds).any())
+
+
+def test_cli_persist_flag(tmp_path):
+    """run.py --scrolling --persist saves and reloads the archive."""
+    from fiesta_tpu.run import main
+
+    path = str(tmp_path / "arch.npz")
+    args = ["--preset", "small", "--frames", "6", "--platform", "cpu",
+            "--scrolling", "--persist", path, "--seed", "2"]
+    assert main(args) == 0
+    assert (tmp_path / "arch.npz").exists()
+    assert main(args) == 0      # second run loads the saved directory
+
+    arch = TileArchive.from_file(path)
+    assert arch.seen_voxels() > 0
+
+
+def test_cli_persist_requires_scrolling():
+    from fiesta_tpu.run import main
+
+    with pytest.raises(SystemExit):
+        main(["--preset", "small", "--frames", "2", "--platform", "cpu",
+              "--persist"])
