@@ -123,7 +123,11 @@ class TileArchive:
                 continue
             logodds[box_sl] = tile["logodds"][tile_sl]
             seen[box_sl] = tile["seen"][tile_sl]
-            any_data = True
+            # gate on actually-observed content: a tile allocated for a
+            # neighboring chunk may overlap this box with only unseen
+            # voxels, and callers use any_data to decide whether to pay a
+            # full distance re-derivation
+            any_data |= bool(tile["seen"][tile_sl].any())
         return logodds, seen, any_data
 
     # -- stats / persistence ---------------------------------------------------

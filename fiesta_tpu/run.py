@@ -141,6 +141,15 @@ def main(argv=None) -> int:
         raise SystemExit("--persist requires --scrolling (the fixed-AABB "
                          "grid never evicts, so the whole world is already "
                          "resident; use --checkpoint to persist it)")
+    if args.persist and not args.persist.endswith(".npz"):
+        # np.savez appends the suffix on save; normalize so the next run's
+        # exists-check looks at the file that was actually written
+        args.persist += ".npz"
+    if args.persist is not None and args.resume:
+        raise SystemExit("--persist does not combine with --resume: "
+                         "checkpoints store the window frame-locally "
+                         "without its world anchor, so archiving a resumed "
+                         "window would write it to the wrong world tiles")
 
     if args.bag_info:
         if not args.bag:

@@ -108,6 +108,8 @@ class ScrollingFiestaPipeline(FiestaPipeline):
             archive = TileArchive()
         self.archive = archive
         self.restore_count = 0
+        if archive is not None and archive.num_tiles:
+            self._hydrate_from_archive()
 
     # -- frame bookkeeping -------------------------------------------------
 
@@ -149,6 +151,26 @@ class ScrollingFiestaPipeline(FiestaPipeline):
 
     # -- persistent-world plumbing (reference C3: HASH_TABLE block map) ----
 
+    def _hydrate_from_archive(self) -> None:
+        """Fill the initial window from a preloaded directory (cross-run
+        resume).  Without this, a loaded archive would not answer queries
+        over already-explored start-region space — and the first store of
+        the unhydrated window would ERASE that content from the directory
+        (store() must let all-unseen writes land so forgetting sticks)."""
+        import dataclasses
+
+        lo_np, seen_np, any_data = self.archive.load(
+            self.origin_vox, self.cfg.grid_shape
+        )
+        if not any_data:
+            return
+        self.state = dataclasses.replace(
+            self.state,
+            logodds=jnp.asarray(lo_np),
+            seen=jnp.asarray(seen_np),
+        )
+        self._rederive_distances()
+
     def _recenter_persistent(self, robot_pos) -> bool:
         """Recenter in FIXED steps of grid/4 per axis.
 
@@ -163,6 +185,17 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         n = np.asarray(cfg.grid_shape, np.int64)
         step = np.maximum(n // 4, 1)
         half = np.asarray(cfg.map_size) / 2
+        # drain pending hit/miss counters into log-odds BEFORE evicting:
+        # the strip's accumulated observations would otherwise scroll off
+        # the counter grids and be lost, while the reference's
+        # never-evicting block map retains them (an early fusion tick is
+        # semantically fine — the reference drains on every timer tick)
+        from .pipeline import esdf_update
+
+        self.state, _ = esdf_update(
+            cfg, self.state, jnp.asarray(self.cur_pos, jnp.float32),
+            use_window=not cfg.global_update,
+        )
         restored = False
         scrolled = False
         for _ in range(64):

@@ -190,6 +190,89 @@ def test_cli_persist_flag(tmp_path):
     assert arch.seen_voxels() > 0
 
 
+def test_archive_any_data_gates_on_seen_content():
+    """A tile allocated for a neighboring chunk must not report data for a
+    purely-unseen overlap (would trigger needless distance rebuilds)."""
+    arch = TileArchive(tile_shape=(8, 8, 8))
+    seen = np.zeros((8, 8, 8), bool)
+    seen[0, 0, 0] = True
+    arch.store((0, 0, 0), np.ones((8, 8, 8), np.float32), seen)
+    _, _, any_data = arch.load((4, 4, 4), (4, 4, 4))   # unseen corner
+    assert not any_data
+    _, _, any_data = arch.load((0, 0, 0), (2, 2, 2))   # seen corner
+    assert any_data
+
+
+def test_preloaded_archive_hydrates_initial_window():
+    """Cross-run persistence: a new pipeline over a loaded directory must
+    answer queries over already-explored space, and re-storing its window
+    must not erase the directory's content."""
+    pipe1 = ScrollingFiestaPipeline(CFG, archive=True)
+    _plant_obstacle(pipe1)
+    # what run.py does at exit: archive the current window, then save
+    pipe1.archive.store(pipe1.origin_vox,
+                        np.asarray(pipe1.state.logodds),
+                        np.asarray(pipe1.state.seen))
+    n_seen = pipe1.archive.seen_voxels()
+    assert n_seen > 0
+
+    pipe2 = ScrollingFiestaPipeline(CFG, archive=pipe1.archive)
+    assert float(pipe2.state.logodds[20, 20, 10]) == 5.0
+    assert int(pipe2.state.d2[20, 20, 10]) == 0
+    d = float(pipe2.query_distance(np.array([[0.05, 0.55, 0.05]]))[0])
+    assert abs(d - 0.5) < 1e-5
+
+    # the end-of-run store of the hydrated window is lossless
+    pipe2.archive.store(pipe2.origin_vox,
+                        np.asarray(pipe2.state.logodds),
+                        np.asarray(pipe2.state.seen))
+    assert pipe2.archive.seen_voxels() == n_seen
+
+
+def test_pending_counters_fused_before_eviction():
+    """Observations accumulated in the hit/miss counters but not yet
+    drained by an update tick must survive eviction+restore (the
+    reference's block map never drops pending scans)."""
+    pipe = ScrollingFiestaPipeline(CFG, archive=True)
+    hit = np.zeros(CFG.grid_shape, np.uint8)
+    miss = np.zeros(CFG.grid_shape, np.uint8)
+    hit[5, 20, 10] = 1
+    miss[5, 20, 10] = 1          # vote: 2*hit >= miss -> occupied update
+    pipe.state = dataclasses.replace(
+        pipe.state,
+        hit_cnt=jnp.asarray(hit),
+        miss_cnt=jnp.asarray(miss),
+    )
+    _walk(pipe, 8.0)             # evicts the x<~20 strip mid-accumulation
+    _walk(pipe, 0.05)            # come back
+    gv = np.array([5, 20, 10]) - pipe.origin_vox
+    assert (gv >= 0).all() and (gv < np.array(CFG.grid_shape)).all()
+    assert float(pipe.state.logodds[tuple(gv)]) > 0.0
+    assert bool(pipe.state.seen[tuple(gv)])
+
+
+def test_cli_persist_appends_npz_suffix(tmp_path):
+    """np.savez appends .npz on save; the reload check must look at the
+    file actually written."""
+    from fiesta_tpu.run import main
+
+    path = str(tmp_path / "world")        # no suffix
+    args = ["--preset", "small", "--frames", "6", "--platform", "cpu",
+            "--scrolling", "--persist", path, "--seed", "2"]
+    assert main(args) == 0
+    assert (tmp_path / "world.npz").exists()
+    assert main(args) == 0                # reloads world.npz, not "world"
+
+
+def test_cli_persist_rejects_resume(tmp_path):
+    from fiesta_tpu.run import main
+
+    with pytest.raises(SystemExit):
+        main(["--preset", "small", "--frames", "2", "--platform", "cpu",
+              "--scrolling", "--persist", "--resume",
+              str(tmp_path / "x.npz")])
+
+
 def test_cli_persist_requires_scrolling():
     from fiesta_tpu.run import main
 
