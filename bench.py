@@ -28,6 +28,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_until_tunnel_healthy(budget_s: float = 900.0) -> None:
+    """The axon tunnel occasionally enters a stall mode where EVERY device
+    round trip blocks for minutes and then completes (PERF.md measurement
+    protocol #6): results stay correct but wall times are garbage.  Gate
+    the measurement on a tiny round trip completing promptly; if the
+    tunnel never recovers within the budget, proceed anyway (the rep
+    filter below still salvages the median) but say so loudly."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.perf_counter() + budget_s
+    while True:
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.ones((1000, 1000), jnp.float32)))
+        dt = time.perf_counter() - t0
+        if dt < 5.0:
+            return
+        log(f"tunnel health probe took {dt:.1f}s (stall mode); "
+            f"{deadline - time.perf_counter():.0f}s of recovery budget left")
+        if time.perf_counter() >= deadline:
+            log("WARNING: tunnel still stalled; measuring anyway — treat "
+                "the recorded value as an upper bound")
+            return
+        time.sleep(30.0)
+
+
 def main():
     import jax
 
@@ -48,6 +74,7 @@ def main():
         max_points_per_scan=h * w,
     )
     log(f"devices: {jax.devices()}")
+    wait_until_tunnel_healthy()
     log(f"grid: {cfg.grid_shape} = {cfg.num_voxels/1e6:.1f} M voxels, "
         f"res {cfg.resolution} m, scan {h}x{w} = {h*w} rays")
 
@@ -136,18 +163,28 @@ def main():
     # +-0.4 ms of run-to-run jitter; report the median of 3 full streams.
     st, _ = stream_all(pipe.state)
     jax.block_until_ready(st.d2)
+    # Collect reps until >=3 agree within 1.5x of the fastest (a tunnel
+    # stall inflates individual reps by seconds; stalls are additive
+    # delays, so the fastest rep bounds the true compute time and the
+    # median of the agreeing reps is the honest statistic).
     reps = []
-    for _ in range(3):
+    while True:
         t_stream = time.perf_counter()
         st, stats = stream_all(st)
         jax.block_until_ready(st.d2)
         reps.append(time.perf_counter() - t_stream)
+        clean = [r for r in reps if r <= 1.5 * min(reps)]
+        if len(clean) >= 3 or len(reps) >= 9:
+            break
     pipe.state = st
-    stream_s = sorted(reps)[1]
+    if len(clean) < len(reps):
+        log(f"dropped {len(reps) - len(clean)} stalled reps "
+            f"({[round(r*1e3) for r in sorted(reps)[len(clean):]]} ms)")
+    stream_s = sorted(clean)[len(clean) // 2]
 
     batch_ms = 1e3 * stream_s / n_batches
     log(f"steady stream: {n_batches} fused update batches (3 scans each), "
-        f"median of {len(reps)} reps "
+        f"median of {len(clean)}/{len(reps)} reps "
         f"{[round(r * 1e3, 1) for r in reps]} ms -> "
         f"{batch_ms:.2f} ms/batch, {batch_ms/3:.2f} ms/frame "
         f"(last tick observed={int(stats.num_observed[-1])})")
