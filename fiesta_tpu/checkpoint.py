@@ -22,12 +22,20 @@ from .grid import MapState
 _FIELDS = ("logodds", "d2", "closest", "seen", "hit_cnt", "miss_cnt")
 
 
-def save(path: str, cfg: FiestaConfig, state: MapState) -> None:
+def save(path: str, cfg: FiestaConfig, state: MapState,
+         origin_vox=None) -> None:
     """Write state + config as ONE file, atomic via rename (the config is
     embedded in the npz so a crash can never pair new arrays with a stale
-    config).  A human-readable JSON sidecar is also written, best-effort."""
+    config).  A human-readable JSON sidecar is also written, best-effort.
+
+    ``origin_vox``: world anchor of a scrolling grid (scrolling.py) in
+    voxels; stored so a resumed window lands at the right world position
+    (required to combine --resume with the persistent archive, whose
+    tiles are world-absolute)."""
     tmp = path + ".tmp"
     arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    if origin_vox is not None:
+        arrays["__origin_vox__"] = np.asarray(origin_vox, np.int64)
     cfg_json = json.dumps(dataclasses.asdict(cfg))
     np.savez_compressed(tmp, __config__=np.asarray(cfg_json), **arrays)
     os.replace(tmp + ".npz", path)  # savez appends ".npz" to tmp
@@ -56,3 +64,12 @@ def load(path: str) -> Tuple[FiestaConfig, MapState]:
             f"checkpoint grid {state.logodds.shape} != config grid {expect}"
         )
     return cfg, state
+
+
+def load_anchor(path: str):
+    """World anchor (``origin_vox`` int64[3]) stored with a scrolling-grid
+    checkpoint, or None for fixed-grid / older checkpoints."""
+    data = np.load(path)
+    if "__origin_vox__" in data:
+        return np.asarray(data["__origin_vox__"], np.int64)
+    return None

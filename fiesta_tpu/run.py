@@ -145,11 +145,6 @@ def main(argv=None) -> int:
         # np.savez appends the suffix on save; normalize so the next run's
         # exists-check looks at the file that was actually written
         args.persist += ".npz"
-    if args.persist is not None and args.resume:
-        raise SystemExit("--persist does not combine with --resume: "
-                         "checkpoints store the window frame-locally "
-                         "without its world anchor, so archiving a resumed "
-                         "window would write it to the wrong world tiles")
 
     if args.bag_info:
         if not args.bag:
@@ -271,8 +266,14 @@ def main(argv=None) -> int:
                       file=sys.stderr)
             else:
                 archive = TileArchive()
-        pipe = ScrollingFiestaPipeline(cfg, method=args.method,
-                                       archive=archive)
+        # when resuming, the checkpointed window is authoritative — attach
+        # the archive only after the state and world anchor are restored
+        # (constructor hydration would fill the window at the wrong anchor)
+        pipe = ScrollingFiestaPipeline(
+            cfg, method=args.method,
+            archive=None if args.resume else archive)
+        if args.resume:
+            pipe.archive = archive
     else:
         pipe = FiestaPipeline(cfg, method=args.method)
     if args.preset == "cow_and_lady" and (args.replay or args.bag):
@@ -288,6 +289,18 @@ def main(argv=None) -> int:
         if ck_cfg.grid_shape != cfg.grid_shape:
             raise SystemExit("checkpoint grid does not match preset")
         pipe.state = state
+        if args.scrolling:
+            anchor = checkpoint.load_anchor(args.resume)
+            if anchor is not None:
+                # the resumed window replaces any constructor hydration;
+                # the archive's world-absolute tiles line up again once
+                # the anchor is restored
+                pipe.origin_vox = anchor
+            elif args.persist is not None:
+                raise SystemExit(
+                    "--persist with --resume needs a checkpoint that "
+                    "stores the scrolling world anchor; re-save the "
+                    "checkpoint with this version first")
 
     viz_dir = args.viz_dir
     if viz_dir:
@@ -323,7 +336,8 @@ def main(argv=None) -> int:
                 and n_updates % args.checkpoint_every == 0):
             from . import checkpoint
 
-            checkpoint.save(args.checkpoint, cfg, pipe.state)
+            checkpoint.save(args.checkpoint, cfg, pipe.state,
+                            origin_vox=getattr(pipe, "origin_vox", None))
 
     profile_cm = None
     if args.profile_dir:
@@ -472,7 +486,8 @@ def main(argv=None) -> int:
     if args.checkpoint:
         from . import checkpoint
 
-        checkpoint.save(args.checkpoint, cfg, pipe.state)
+        checkpoint.save(args.checkpoint, cfg, pipe.state,
+                            origin_vox=getattr(pipe, "origin_vox", None))
         print(f"checkpoint saved to {args.checkpoint}", file=sys.stderr)
 
     if args.mpc or args.fly:

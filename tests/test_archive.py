@@ -264,13 +264,43 @@ def test_cli_persist_appends_npz_suffix(tmp_path):
     assert main(args) == 0                # reloads world.npz, not "world"
 
 
-def test_cli_persist_rejects_resume(tmp_path):
+def test_checkpoint_stores_scrolling_anchor(tmp_path):
+    """Checkpoints of a scrolling grid carry the world anchor so a resumed
+    window lands at the right world position (required for --persist)."""
+    from fiesta_tpu import checkpoint
+
+    pipe = ScrollingFiestaPipeline(CFG, archive=True)
+    _plant_obstacle(pipe)
+    _walk(pipe, 8.0)
+    path = str(tmp_path / "map.npz")
+    checkpoint.save(path, CFG, pipe.state, origin_vox=pipe.origin_vox)
+
+    anchor = checkpoint.load_anchor(path)
+    np.testing.assert_array_equal(anchor, pipe.origin_vox)
+    # fixed-grid checkpoints have no anchor
+    checkpoint.save(path, CFG, pipe.state)
+    assert checkpoint.load_anchor(path) is None
+
+
+def test_cli_resume_with_persist_restores_anchor(tmp_path):
+    """run.py --resume + --persist: world-absolute tiles line up with the
+    resumed window because the checkpoint stores origin_vox."""
     from fiesta_tpu.run import main
 
+    arch = str(tmp_path / "arch.npz")
+    ck = str(tmp_path / "map.npz")
+    base = ["--preset", "small", "--frames", "6", "--platform", "cpu",
+            "--scrolling", "--seed", "2"]
+    assert main(base + ["--persist", arch, "--checkpoint", ck]) == 0
+    assert main(base + ["--persist", arch, "--resume", ck]) == 0
+
+    # an anchor-less (fixed-grid style) checkpoint is rejected with persist
+    from fiesta_tpu import checkpoint
+
+    cfg2, state = checkpoint.load(ck)
+    checkpoint.save(ck, cfg2, state)       # strip the anchor
     with pytest.raises(SystemExit):
-        main(["--preset", "small", "--frames", "2", "--platform", "cpu",
-              "--scrolling", "--persist", "--resume",
-              str(tmp_path / "x.npz")])
+        main(base + ["--persist", arch, "--resume", ck])
 
 
 def test_cli_persist_requires_scrolling():
