@@ -303,6 +303,83 @@ def test_cli_resume_with_persist_restores_anchor(tmp_path):
         main(base + ["--persist", arch, "--resume", ck])
 
 
+def test_persistent_scrolling_matches_fixed_grid_bit_exact():
+    """Equivalence oracle for the whole C3 stack: a persistent scrolling
+    pipeline over a small moving window must produce BIT-IDENTICAL
+    log-odds/seen (and equal truncated distances away from the window
+    boundary) to a fixed pipeline whose grid covers the whole world,
+    fed the same scans.
+
+    Validity argument: rays reach max_ray + margin ~ 1.7 m and the
+    recenter loop keeps the robot within 0.75 m of window center, so
+    every observation lands >= 0.55 m inside the then-current 6 m window
+    — observation sets per voxel are identical, evicted content round-
+    trips through the archive, and fusion applies the same per-voxel
+    updates in the same tick grouping (update after every frame)."""
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.io.replay import scale_intrinsics
+    from fiesta_tpu.pipeline import FiestaPipeline
+
+    h, w = 120, 160
+    world_cfg = scale_intrinsics(FiestaConfig(
+        resolution=0.1,
+        origin=(-8.0, -8.0, -1.0),
+        map_size=(16.0, 16.0, 2.0),
+        min_ray_length=0.3,
+        max_ray_length=1.5,
+        trunc_dist=1.5,
+        edt_fine_dist=1.5,
+        max_points_per_scan=h * w,
+    ), height=h, width=w)
+    small_cfg = dataclasses.replace(
+        world_cfg, origin=(-3.0, -3.0, -1.0), map_size=(6.0, 6.0, 2.0))
+
+    # full orbit (radius 4 m > window half 3 m) in 30 frames: leaves the
+    # initial window, comes back — exercises evict, restore, hydave paths
+    world, frames = replay.make_sequence(
+        world_cfg, n_frames=33, n_boxes=12, seed=5,
+        height=h, width=w, period=1.0, orbit_radius=4.0, orbit_z=0.0,
+    )
+
+    big = FiestaPipeline(world_cfg, method="scanline")
+    small = ScrollingFiestaPipeline(small_cfg, archive=True)
+    for i, (t, (pos, quat), scan) in enumerate(frames):
+        for pipe in (big, small):
+            pipe.observe_pose(t, pos, quat)
+            pipe.observe_cloud(t, scan)
+            if i + 1 < len(frames):
+                pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+            pipe.process()
+            pipe.update()
+
+    assert small.scroll_count > 0 and small.restore_count > 0, \
+        "trajectory must actually evict and restore"
+
+    # map the final window into the big grid
+    off = np.round((small.world_origin - np.asarray(world_cfg.origin))
+                   / world_cfg.resolution).astype(int)
+    sx, sy, sz = small_cfg.grid_shape
+    sl = (slice(off[0], off[0] + sx), slice(off[1], off[1] + sy),
+          slice(off[2], off[2] + sz))
+
+    np.testing.assert_array_equal(np.asarray(small.state.seen),
+                                  np.asarray(big.state.seen[sl]))
+    np.testing.assert_array_equal(np.asarray(small.state.logodds),
+                                  np.asarray(big.state.logodds[sl]))
+
+    # distances: exact equality away from the window boundary (obstacles
+    # outside the window can only influence voxels within trunc_dist of a
+    # face; z faces coincide with the world bounds)
+    shrink = int(world_cfg.trunc_dist / world_cfg.resolution) + 2
+    inner = (slice(shrink, sx - shrink), slice(shrink, sy - shrink),
+             slice(None))
+    d2_small = np.asarray(small.state.d2)[inner]
+    d2_big = np.asarray(big.state.d2[sl])[inner]
+    np.testing.assert_array_equal(d2_small, d2_big)
+    assert (np.asarray(small.state.seen)[inner]).sum() > 500, \
+        "interior must contain real observations for the d2 check to bite"
+
+
 def test_cli_persist_requires_scrolling():
     from fiesta_tpu.run import main
 
