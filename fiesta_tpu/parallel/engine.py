@@ -109,3 +109,36 @@ class ShardedFiestaPipeline(FiestaPipeline):
                     jnp.asarray(self.cur_pos, jnp.float32),
                 )
         return last_stats
+
+    # -- rollout-sharded planning (the full multi-chip control loop) -------
+
+    def plan(self, goal, mpc_cfg=None, v0=None, nominal=None, key=None):
+        """One MPC solve against the current sharded map.
+
+        The distance grid all-gathers once over ICI (replicated for the
+        lookup stage); the K rollouts split on the mesh axis and only the
+        MPPI softmax normalization + weighted control update reduce
+        across devices (SURVEY.md section 5: batch-sharded rollouts need
+        no cross-device traffic except the final reduction).  Together
+        with ``update()`` this is the complete perception-to-control
+        period on a multi-chip slice.
+        """
+        from ..planning import mpc as mpc_mod
+
+        if mpc_cfg is None:
+            mpc_cfg = mpc_mod.MPCConfig()
+        if getattr(self, "_planner_cfg", None) != mpc_cfg:
+            self._planner = mpc_mod.make_sharded_planner(
+                self.cfg, mpc_cfg, self.mesh)
+            self._planner_cfg = mpc_cfg
+        h = mpc_cfg.horizon
+        return self._planner(
+            self.distance_grid(),
+            jnp.asarray(self.cur_pos, jnp.float32),
+            jnp.zeros(3, jnp.float32) if v0 is None
+            else jnp.asarray(v0, jnp.float32),
+            jnp.asarray(goal, jnp.float32),
+            jnp.zeros((h, 3), jnp.float32) if nominal is None
+            else jnp.asarray(nominal, jnp.float32),
+            jax.random.PRNGKey(0) if key is None else key,
+        )

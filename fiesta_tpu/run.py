@@ -505,10 +505,15 @@ def main(argv=None) -> int:
 
     if args.mpc:
         with Timer("mpc_plan"):
-            res = mpc_mod.plan_step(
-                cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal,
-                jnp.zeros((mpc_cfg.horizon, 3)), jax.random.PRNGKey(0),
-            )
+            if args.devices:
+                # rollout-sharded solve over the same mesh as the map
+                pipe.cur_pos = np.asarray(p0, np.float64)
+                res = pipe.plan(goal, mpc_cfg)
+            else:
+                res = mpc_mod.plan_step(
+                    cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal,
+                    jnp.zeros((mpc_cfg.horizon, 3)), jax.random.PRNGKey(0),
+                )
             jax.block_until_ready(res.controls)
         print(f"MPC: {mpc_cfg.n_rollouts} rollouts, cost "
               f"{float(res.cost):.2f}, plan ends at "

@@ -363,6 +363,30 @@ def test_sharded_pipeline_matches_single_device_engine():
     d = np.asarray(sp.query_distance(np.asarray([[0.0, 0.0, 0.0]])))
     assert d.shape == (1,)
 
+    # the full multi-chip control loop: rollout-sharded MPC against the
+    # sharded map matches the single-device solve on the same map (same
+    # key => same noise; only psum reduction order may perturb floats)
+    from fiesta_tpu.planning import mpc as mpc_mod
+
+    mpc_cfg = mpc_mod.MPCConfig(n_rollouts=64, horizon=8, refine_steps=2)
+    goal = np.asarray([0.5, 0.5, 0.0])
+    sp.cur_pos = np.zeros(3)
+    res_sh = sp.plan(goal, mpc_cfg)
+
+    res_ref = mpc_mod.plan_step(
+        cfg, mpc_cfg,
+        ref.distance_grid(),
+        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray(goal, jnp.float32),
+        jnp.zeros((mpc_cfg.horizon, 3), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(res_sh.controls),
+                               np.asarray(res_ref.controls),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(res_sh.cost), float(res_ref.cost),
+                               rtol=1e-5)
+
 
 def test_cli_devices_flag_runs_sharded_engine():
     """run.py --devices N drives ShardedFiestaPipeline on a virtual mesh.
