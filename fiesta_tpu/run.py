@@ -531,8 +531,13 @@ def main(argv=None) -> int:
         for step in range(args.fly_steps):
             key, k = jax.random.split(key)
             with Timer("fly_step"):
-                res = mpc_mod.plan_step(
-                    cfg, mpc_cfg, dist, p, v, goal, nominal, k)
+                if args.devices:
+                    pipe.cur_pos = np.asarray(p, np.float64)
+                    res = pipe.plan(goal, mpc_cfg, v0=v, nominal=nominal,
+                                    key=k)
+                else:
+                    res = mpc_mod.plan_step(
+                        cfg, mpc_cfg, dist, p, v, goal, nominal, k)
                 a = res.controls[0]
                 v = jnp.clip(v + a * mpc_cfg.dt,
                              -mpc_cfg.v_max, mpc_cfg.v_max)
