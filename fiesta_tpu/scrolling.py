@@ -147,6 +147,14 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         # window correct when a scroll fires without a matched scan)
         self.cur_pos = np.asarray(self.cur_pos) \
             - shift_vox * self.cfg.resolution
+        # ... and the depth consistency filter's previous-frame transform
+        # (Fiesta.h:356-377 reprojects into it): left un-rebased it would
+        # be off by shift*resolution after a recenter and the filter would
+        # reject nearly every point of the next depth frame
+        if self.last_transform is not None:
+            t = self.last_transform.copy()
+            t[:3, 3] -= shift_vox * self.cfg.resolution
+            self.last_transform = t
         self.scroll_count += 1
 
     # -- persistent-world plumbing (reference C3: HASH_TABLE block map) ----

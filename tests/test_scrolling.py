@@ -117,6 +117,56 @@ def test_scrolling_pipeline_follows_robot():
         assert (errs <= 2.0).mean() > 0.9
 
 
+def test_scroll_rebases_depth_filter_transform():
+    """The depth consistency filter's previous-frame transform must move
+    into the new virtual frame on recenter, or the next frame's
+    reprojection test (Fiesta.h:356-377) is off by shift*resolution and
+    rejects nearly everything."""
+    pipe = ScrollingFiestaPipeline(CFG)
+    t = np.eye(4)
+    t[:3, 3] = [1.0, 2.0, 0.5]
+    pipe.last_transform = t
+    pipe._apply_scroll(np.array([10, 0, -5], np.int64))
+    np.testing.assert_allclose(pipe.last_transform[:3, 3],
+                               [0.0, 2.0, 1.0])   # -shift * 0.1 m
+
+
+def test_scrolling_depth_mode_survives_recenter():
+    """Depth-image input keeps observing across a recenter (the filter
+    chain crosses the frame change)."""
+    world_cfg = dataclasses.replace(
+        CFG, origin=(-8.0, -8.0, -0.5), map_size=(16.0, 16.0, 2.0))
+    world, frames = replay.make_sequence(
+        world_cfg, n_frames=12, n_boxes=10, seed=4, kind="depth",
+        height=120, width=160, orbit_radius=5.0, period=4.0,
+    )
+    pipe = ScrollingFiestaPipeline(CFG, recenter_fraction=0.2)
+    observed_after_scroll = None
+    scrolls_seen = 0
+    for i, (t, (pos, quat), depth) in enumerate(frames):
+        pipe.observe_pose(t, pos, quat)
+        pipe.observe_depth(t, depth)
+        if i + 1 < len(frames):
+            pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+        else:
+            pipe.observe_pose(t + 1.0, pos, quat)
+        before = pipe.scroll_count
+        pipe.process()
+        stats = pipe.update()
+        if pipe.scroll_count > before and stats is not None:
+            # the frame converted right after the recenter (same process
+            # call): its consistency filter reprojects into the PREVIOUS
+            # frame's transform, which must have been rebased
+            scrolls_seen += 1
+            observed_after_scroll = int(stats.num_observed)
+            break
+    assert scrolls_seen > 0, "trajectory must trigger a recenter"
+    assert observed_after_scroll is not None
+    assert observed_after_scroll > 1000, (
+        f"depth frame after recenter observed only {observed_after_scroll} "
+        "voxels — consistency filter misaligned across the scroll")
+
+
 def test_cli_scrolling_flag(tmp_path):
     """run.py --scrolling drives the ScrollingFiestaPipeline end-to-end."""
     from fiesta_tpu.run import main
