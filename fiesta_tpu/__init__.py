@@ -39,6 +39,24 @@ def configure_compile_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+def __getattr__(name):
+    # lazy engine-class exports: importing them eagerly would pull jax
+    # device init into `import fiesta_tpu` (PERF.md measurement note 4)
+    if name == "FiestaPipeline":
+        from .pipeline import FiestaPipeline
+        return FiestaPipeline
+    if name == "ScrollingFiestaPipeline":
+        from .scrolling import ScrollingFiestaPipeline
+        return ScrollingFiestaPipeline
+    if name == "ShardedFiestaPipeline":
+        from .parallel.engine import ShardedFiestaPipeline
+        return ShardedFiestaPipeline
+    if name == "TileArchive":
+        from .archive import TileArchive
+        return TileArchive
+    raise AttributeError(f"module 'fiesta_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "FiestaConfig",
     "COW_AND_LADY",
@@ -53,4 +71,8 @@ __all__ = [
     "vox_to_idx",
     "INF_D2",
     "UNDEFINED_COORD",
+    "FiestaPipeline",
+    "ScrollingFiestaPipeline",
+    "ShardedFiestaPipeline",
+    "TileArchive",
 ]
