@@ -33,8 +33,10 @@ def wait_until_tunnel_healthy(budget_s: float = 900.0) -> None:
     round trip blocks for minutes and then completes (PERF.md measurement
     protocol #6): results stay correct but wall times are garbage.  Gate
     the measurement on a tiny round trip completing promptly; if the
-    tunnel never recovers within the budget, proceed anyway (the rep
-    filter below still salvages the median) but say so loudly."""
+    tunnel never recovers within the budget, proceed anyway but say so
+    loudly (the rep filter only catches per-rep additive stalls; a
+    uniform slowdown would survive it, so a post-measurement probe
+    re-checks health and flags the recorded value)."""
     import jax
     import jax.numpy as jnp
 
@@ -189,6 +191,15 @@ def main():
         f"{batch_ms:.2f} ms/batch, {batch_ms/3:.2f} ms/frame "
         f"(last tick observed={int(stats.num_observed[-1])})")
     log(Timing.print_table())
+
+    # post-measurement health probe: a UNIFORM tunnel slowdown inflates
+    # every rep equally and slips past the 1.5x filter — re-check and
+    # flag the recorded value if the tunnel is stalled right now
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.ones((1000, 1000), jnp.float32)))
+    if time.perf_counter() - t0 >= 5.0:
+        log("WARNING: tunnel stalled at measurement time — the recorded "
+            "value is an upper bound, rerun when healthy")
 
     baseline_ms = 100.0  # reference real-time budget per update batch
     print(json.dumps({

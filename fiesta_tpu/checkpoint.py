@@ -48,16 +48,16 @@ def save(path: str, cfg: FiestaConfig, state: MapState,
 
 def load(path: str) -> Tuple[FiestaConfig, MapState]:
     """Load a checkpoint written by ``save``."""
-    data = np.load(path)
-    if "__config__" in data:
-        raw = json.loads(str(data["__config__"]))
-    else:  # older checkpoints: sidecar only
-        with open(path + ".json") as fh:
-            raw = json.load(fh)
+    with np.load(path) as data:
+        if "__config__" in data:
+            raw = json.loads(str(data["__config__"]))
+        else:  # older checkpoints: sidecar only
+            with open(path + ".json") as fh:
+                raw = json.load(fh)
+        state = MapState(**{f: jnp.asarray(data[f]) for f in _FIELDS})
     for k in ("origin", "map_size", "radius"):
         raw[k] = tuple(raw[k])
     cfg = FiestaConfig(**raw)
-    state = MapState(**{f: jnp.asarray(data[f]) for f in _FIELDS})
     expect = cfg.grid_shape
     if tuple(state.logodds.shape) != expect:
         raise ValueError(
@@ -69,7 +69,7 @@ def load(path: str) -> Tuple[FiestaConfig, MapState]:
 def load_anchor(path: str):
     """World anchor (``origin_vox`` int64[3]) stored with a scrolling-grid
     checkpoint, or None for fixed-grid / older checkpoints."""
-    data = np.load(path)
-    if "__origin_vox__" in data:
-        return np.asarray(data["__origin_vox__"], np.int64)
+    with np.load(path) as data:
+        if "__origin_vox__" in data:
+            return np.asarray(data["__origin_vox__"], np.int64)
     return None

@@ -87,6 +87,7 @@ class ShardedFiestaPipeline(FiestaPipeline):
             return None
         self.new_msg = False
         self.esdf_cnt += 1
+        self._dist_cache = None   # the map changes: invalidate plan()'s grid
         k = self.scans_per_tick
         p = self.cfg.max_points_per_scan
         last_stats: Optional[UpdateStats] = None
@@ -112,29 +113,41 @@ class ShardedFiestaPipeline(FiestaPipeline):
 
     # -- rollout-sharded planning (the full multi-chip control loop) -------
 
-    def plan(self, goal, mpc_cfg=None, v0=None, nominal=None, key=None):
+    def plan(self, goal, mpc_cfg=None, p0=None, v0=None, nominal=None,
+             key=None):
         """One MPC solve against the current sharded map.
 
         The distance grid all-gathers once over ICI (replicated for the
-        lookup stage); the K rollouts split on the mesh axis and only the
-        MPPI softmax normalization + weighted control update reduce
+        lookup stage) and is CACHED until the next ``update()`` tick, so
+        a receding-horizon loop re-planning against a static map pays the
+        derivation once; the K rollouts split on the mesh axis and only
+        the MPPI softmax normalization + weighted control update reduce
         across devices (SURVEY.md section 5: batch-sharded rollouts need
         no cross-device traffic except the final reduction).  Together
         with ``update()`` this is the complete perception-to-control
         period on a multi-chip slice.
+
+        ``p0``: start position in the map frame (defaults to the last
+        observed sensor position).
         """
         from ..planning import mpc as mpc_mod
 
         if mpc_cfg is None:
             mpc_cfg = mpc_mod.MPCConfig()
+        if mpc_cfg.n_rollouts % self.mesh.devices.size:
+            raise ValueError(
+                f"n_rollouts={mpc_cfg.n_rollouts} must divide by the "
+                f"{self.mesh.devices.size}-device mesh")
         if getattr(self, "_planner_cfg", None) != mpc_cfg:
             self._planner = mpc_mod.make_sharded_planner(
                 self.cfg, mpc_cfg, self.mesh)
             self._planner_cfg = mpc_cfg
+        if getattr(self, "_dist_cache", None) is None:
+            self._dist_cache = self.distance_grid()
         h = mpc_cfg.horizon
         return self._planner(
-            self.distance_grid(),
-            jnp.asarray(self.cur_pos, jnp.float32),
+            self._dist_cache,
+            jnp.asarray(self.cur_pos if p0 is None else p0, jnp.float32),
             jnp.zeros(3, jnp.float32) if v0 is None
             else jnp.asarray(v0, jnp.float32),
             jnp.asarray(goal, jnp.float32),

@@ -237,6 +237,14 @@ def main(argv=None) -> int:
             raise SystemExit("--devices takes cloud input (depth-image "
                              "replays are single-device; the consistency "
                              "filter chains frames across ticks)")
+        if args.mpc or args.fly:
+            from .planning.mpc import MPCConfig
+
+            if MPCConfig().n_rollouts % args.devices:
+                raise SystemExit(
+                    f"--mpc/--fly with --devices {args.devices}: the "
+                    f"{MPCConfig().n_rollouts} MPPI rollouts must divide "
+                    "by the mesh size")
         from .parallel.engine import ShardedFiestaPipeline
         from .parallel.sharding import make_mesh
 
@@ -266,9 +274,10 @@ def main(argv=None) -> int:
                       file=sys.stderr)
             else:
                 archive = TileArchive()
-        # when resuming, the checkpointed window is authoritative — attach
-        # the archive only after the state and world anchor are restored
-        # (constructor hydration would fill the window at the wrong anchor)
+        # when resuming, keep the archive OUT of the constructor so
+        # _hydrate_from_archive cannot fill the window at anchor 0; no
+        # archive operation may run until the resume block below has
+        # restored the checkpointed state and world anchor
         pipe = ScrollingFiestaPipeline(
             cfg, method=args.method,
             archive=None if args.resume else archive)
@@ -501,14 +510,16 @@ def main(argv=None) -> int:
         center = lo + np.asarray(cfg.map_size) / 2
         p0 = jnp.asarray(center + [0.0, -1.0, 0.0], jnp.float32)
         goal = jnp.asarray(center + [0.0, 1.0, 0.0], jnp.float32)
-        dist = pipe.distance_grid()
+        # the sharded plan() derives (and caches) its own replicated grid;
+        # materialize `dist` only where this process consumes it directly
+        dist = (pipe.distance_grid()
+                if (not args.devices or args.fly) else None)
 
     if args.mpc:
         with Timer("mpc_plan"):
             if args.devices:
                 # rollout-sharded solve over the same mesh as the map
-                pipe.cur_pos = np.asarray(p0, np.float64)
-                res = pipe.plan(goal, mpc_cfg)
+                res = pipe.plan(goal, mpc_cfg, p0=p0)
             else:
                 res = mpc_mod.plan_step(
                     cfg, mpc_cfg, dist, p0, jnp.zeros(3), goal,
@@ -532,9 +543,8 @@ def main(argv=None) -> int:
             key, k = jax.random.split(key)
             with Timer("fly_step"):
                 if args.devices:
-                    pipe.cur_pos = np.asarray(p, np.float64)
-                    res = pipe.plan(goal, mpc_cfg, v0=v, nominal=nominal,
-                                    key=k)
+                    res = pipe.plan(goal, mpc_cfg, p0=p, v0=v,
+                                    nominal=nominal, key=k)
                 else:
                     res = mpc_mod.plan_step(
                         cfg, mpc_cfg, dist, p, v, goal, nominal, k)
