@@ -17,7 +17,9 @@ Usage::
     python -m fiesta_tpu.run --preset demo --mpc       # one planner solve
     python -m fiesta_tpu.run --preset small --fly      # closed-loop flight
     python -m fiesta_tpu.run --scrolling ...           # unbounded world
+    python -m fiesta_tpu.run --scrolling --persist world.npz  # persistent
     python -m fiesta_tpu.run --platform cpu --devices 8 ...  # sharded engine
+    python -m fiesta_tpu.run --platform cpu --devices 8 --mpc  # sharded MPC
 
 Recorded sequence format (.npz): arrays ``t [N]``, ``pos [N,3]``,
 ``quat [N,4]`` (wxyz), and either ``clouds [N,P,3]`` (sensor frame) or
