@@ -60,6 +60,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="scanline")
     p.add_argument("--esdf-mode", choices=["rebuild", "incremental"],
                    default=None, help="override config esdf_mode")
+    p.add_argument("--config", metavar="PARAMS.json",
+                   help="JSON dict of FiestaConfig fields merged over the "
+                        "preset — the launch-file tier of the reference's "
+                        "config system (field names match the ROS params, "
+                        "src/parameters.cpp)")
+    p.add_argument("--set", action="append", metavar="FIELD=VALUE",
+                   help="override one config field (repeatable); tuples "
+                        "as comma lists, e.g. --set origin=-10,-10,-2")
     p.add_argument("--scrolling", action="store_true",
                    help="unbounded-world mode: the grid recenters around "
                         "the robot (the reference's HASH_TABLE analog); "
@@ -127,6 +135,44 @@ def _preset_cfg(name: str):
     return cfg, h, w
 
 
+def _parse_value(text: str):
+    """Parse a --set value: bool / int / float / comma-tuple / string."""
+    t = text.strip()
+    if t.lower() in ("true", "false"):
+        return t.lower() == "true"
+    if "," in t:
+        return tuple(_parse_value(p) for p in t.split(","))
+    for cast in (int, float):
+        try:
+            return cast(t)
+        except ValueError:
+            pass
+    return t
+
+
+def _apply_overrides(cfg, overrides: dict, source: str):
+    """Merge a dict of FiestaConfig fields over the preset — the
+    launch-file/param-server tier of the reference's config system
+    (src/parameters.cpp:6-96; field names match the ROS param names).
+    Unknown fields are an error, not a silent ignore."""
+    valid = {f.name for f in dataclasses.fields(cfg)}
+    bad = set(overrides) - valid
+    if bad:
+        raise SystemExit(
+            f"{source}: unknown config field(s) {sorted(bad)}; valid "
+            f"fields are the FiestaConfig dataclass fields (config.py)")
+    fixed = {}
+    for k, v in overrides.items():
+        cur = getattr(cfg, k)
+        if isinstance(cur, tuple):
+            v = tuple(v)
+            if len(v) != len(cur):
+                raise SystemExit(
+                    f"{source}: {k} expects {len(cur)} values, got {len(v)}")
+        fixed[k] = v
+    return dataclasses.replace(cfg, **fixed)
+
+
 #: per-preset launch-file topic remaps (cow_and_lady.launch:66-67,
 #: demo.launch:70-72)
 PRESET_TOPICS = {
@@ -183,6 +229,14 @@ def main(argv=None) -> int:
     from .timing import Timer, Timing
 
     cfg, h, w = _preset_cfg(args.preset)
+    if args.config:
+        cfg = _apply_overrides(cfg, json.load(open(args.config)),
+                               source=args.config)
+    for kv in args.set or []:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects field=value, got {kv!r}")
+        k, v = kv.split("=", 1)
+        cfg = _apply_overrides(cfg, {k: _parse_value(v)}, source="--set")
     if args.esdf_mode:
         cfg = dataclasses.replace(cfg, esdf_mode=args.esdf_mode)
 

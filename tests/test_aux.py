@@ -162,3 +162,27 @@ def test_cli_profile_and_periodic_checkpoint(tmp_path):
     # jax writes plugins/… trace files under the directory
     found = [f for _, _, fs in os.walk(prof) for f in fs]
     assert found, "no profiler trace files written"
+
+
+def test_cli_config_overrides(tmp_path):
+    """--config / --set merge FiestaConfig fields over the preset (the
+    launch-file tier of the reference's config system, parameters.cpp)."""
+    import json
+
+    from fiesta_tpu.run import main
+
+    params = tmp_path / "params.json"
+    params.write_text(json.dumps({"p_occ": 0.7, "max_ray_length": 2.0}))
+    assert main(["--preset", "small", "--frames", "4", "--platform", "cpu",
+                 "--config", str(params),
+                 "--set", "p_hit=0.8", "--set", "origin=-2,-2,-0.5",
+                 "--set", "map_size=4,4,1", "--seed", "1"]) == 0
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown config field"):
+        main(["--preset", "small", "--frames", "2", "--platform", "cpu",
+              "--set", "nope=1"])
+    with pytest.raises(SystemExit, match="expects 3 values"):
+        main(["--preset", "small", "--frames", "2", "--platform", "cpu",
+              "--set", "origin=-2,-2"])
