@@ -87,38 +87,8 @@ def _shift_axis_stack(arr: jax.Array, axis: int, s: int, fill) -> jax.Array:
     return jnp.concatenate([blk, body], axis=ax)
 
 
-def relax_once(
-    d2: jax.Array,
-    closest: jax.Array,
-    update_mask,
-    source_mask,
-    dirs,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One Jacobi sweep of the closest-obstacle relaxation.
-
-    Implements one data-parallel application of BFS "patch A"
-    (ESDFMap.cpp:349-373) to every voxel at once; "patch B"
-    (ESDFMap.cpp:375-391) is its mirror image and is subsumed by the
-    neighbor's own pull on the next sweep.
-
-    Args:
-      d2:        [X,Y,Z] int32 squared distances.
-      closest:   [3,X,Y,Z] int16 closest-obstacle coords (-1 = undefined).
-      update_mask: bool [X,Y,Z] or None — voxels allowed to improve
-                   (reference: BFS only queues voxels, all inside the window).
-      source_mask: bool [X,Y,Z] or None — voxels readable as neighbors
-                   (reference: VoxInRange gate, ESDFMap.cpp:351).
-      dirs:      static tuple of (dx,dy,dz) stencil offsets.
-
-    Returns (new_d2, new_closest, changed_any).
-    """
-    shape = d2.shape
-    self_c = coord_grids(shape).astype(jnp.int32)
-
-    src = closest
-    if source_mask is not None:
-        src = jnp.where(source_mask[None], closest, UNDEFINED_COORD)
-
+def _relax_pass(d2, closest, src, dirs, shape, self_c):
+    """Best (d2, closest) candidates pulling from ``src`` neighbors."""
     small = [d for d in dirs if max(abs(int(o)) for o in d) <= _PAD]
     jumps = [d for d in dirs if max(abs(int(o)) for o in d) > _PAD]
     for d in jumps:
@@ -151,6 +121,60 @@ def relax_once(
     for off in jumps:
         axis = next(i for i, o in enumerate(off) if o)
         consider(_shift_axis_stack(src, axis, int(off[axis]), np.int16(-1)))
+    return best_d2, best_c
+
+
+def relax_once(
+    d2: jax.Array,
+    closest: jax.Array,
+    update_mask,
+    source_mask,
+    dirs,
+    push_src_mask=None,
+    push_recv_mask=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One Jacobi sweep of the closest-obstacle relaxation.
+
+    Implements one data-parallel application of BFS "patch A"
+    (ESDFMap.cpp:349-373) to every voxel at once; "patch B"
+    (ESDFMap.cpp:375-391) is its mirror image and is subsumed by the
+    neighbor's own pull on the next sweep — EXCEPT in windowed mode,
+    where the reference lets a queued out-of-window voxel (a reset bucket
+    member or an out-of-window insert) push its obstacle INTO the window
+    (the push target gate at ESDFMap.cpp:378 passes for in-window
+    neighbors even when the pusher is outside).
+    ``push_src_mask``/``push_recv_mask`` restore that flow: an extra pull
+    pass where ``push_recv_mask`` voxels may additionally read
+    ``push_src_mask`` sources.
+
+    Args:
+      d2:        [X,Y,Z] int32 squared distances.
+      closest:   [3,X,Y,Z] int16 closest-obstacle coords (-1 = undefined).
+      update_mask: bool [X,Y,Z] or None — voxels allowed to improve
+                   (reference: BFS only queues voxels, all inside the window).
+      source_mask: bool [X,Y,Z] or None — voxels readable as neighbors
+                   (reference: VoxInRange gate, ESDFMap.cpp:351).
+      dirs:      static tuple of (dx,dy,dz) stencil offsets.
+      push_src_mask / push_recv_mask: optional bool [X,Y,Z] — extra
+                   sources readable by ``push_recv_mask`` receivers only.
+
+    Returns (new_d2, new_closest, changed_any).
+    """
+    shape = d2.shape
+    self_c = coord_grids(shape).astype(jnp.int32)
+
+    src = closest
+    if source_mask is not None:
+        src = jnp.where(source_mask[None], closest, UNDEFINED_COORD)
+
+    best_d2, best_c = _relax_pass(d2, closest, src, dirs, shape, self_c)
+
+    if push_src_mask is not None:
+        src2 = jnp.where(push_src_mask[None], closest, UNDEFINED_COORD)
+        p_d2, p_c = _relax_pass(d2, closest, src2, dirs, shape, self_c)
+        take = push_recv_mask & (p_d2 < best_d2)
+        best_d2 = jnp.where(take, p_d2, best_d2)
+        best_c = jnp.where(take[None], p_c, best_c)
 
     if update_mask is not None:
         best_d2 = jnp.where(update_mask, best_d2, d2)
@@ -167,6 +191,8 @@ def relax_to_fixpoint(
     source_mask,
     dirs,
     max_iters: int = 0,
+    push_src_mask=None,
+    push_recv_mask=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Iterate ``relax_once`` until nothing changes (the BFS fixpoint).
 
@@ -184,7 +210,9 @@ def relax_to_fixpoint(
 
     def body(carry):
         d2_, c_, _, it = carry
-        d2n, cn, changed = relax_once(d2_, c_, update_mask, source_mask, dirs)
+        d2n, cn, changed = relax_once(d2_, c_, update_mask, source_mask,
+                                      dirs, push_src_mask=push_src_mask,
+                                      push_recv_mask=push_recv_mask)
         return d2n, cn, changed, it + 1
 
     d2f, cf, _, iters = jax.lax.while_loop(
@@ -260,12 +288,20 @@ def update_esdf(
     del delete_mask  # subsumed by occupancy gather in apply_occupancy_changes
     d2, closest, reset = apply_occupancy_changes(d2, closest, occupied, insert_mask)
     if window_mask is None:
-        update_mask = source_mask = None
-    else:
-        update_mask = window_mask | reset
-        source_mask = window_mask
-    return relax_to_fixpoint(d2, closest, update_mask, source_mask, dirs,
-                             max_iters=max_iters)
+        return relax_to_fixpoint(d2, closest, None, None, dirs,
+                                 max_iters=max_iters)
+    # windowed mode (C17): in-window voxels relax against in-window
+    # sources; queued out-of-window voxels (reset bucket members and
+    # out-of-window inserts — the insert drain has no window gate,
+    # ESDFMap.cpp:278-291) re-seed from in-window sources (substitute
+    # scan, ESDFMap.cpp:311) and push their obstacle back INTO the window
+    # (patch B target gate, ESDFMap.cpp:378 admits in-window receivers
+    # regardless of the pusher) — the extra push pass carries that flow
+    queued = reset | insert_mask
+    return relax_to_fixpoint(d2, closest, window_mask | queued, window_mask,
+                             dirs, max_iters=max_iters,
+                             push_src_mask=queued,
+                             push_recv_mask=window_mask)
 
 
 # ---------------------------------------------------------------------------

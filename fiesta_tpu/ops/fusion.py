@@ -109,8 +109,17 @@ def set_occupancy_direct(
         order * 2 + occ.astype(jnp.int32), mode="drop"
     )
     flat = logodds.reshape(-1)
-    new_flat = jnp.where(packed >= 0, (packed & 1).astype(jnp.float32),
-                         flat)
+    # write values the active occupancy predicate recognizes: the
+    # deterministic mode tests logodds == 1.0, the probabilistic mode
+    # thresholds at min_occupancy_log (= logit(p_occ) ~ 1.386 by default,
+    # which a raw 1.0 would NOT cross — the flip masks would invert)
+    if cfg.probabilistic:
+        on, off = cfg.clamp_max_log, cfg.clamp_min_log
+    else:
+        on, off = 1.0, 0.0
+    written = jnp.where((packed & 1) == 1, jnp.float32(on),
+                        jnp.float32(off))
+    new_flat = jnp.where(packed >= 0, written, flat)
     new_lo = new_flat.reshape(logodds.shape)
     occ_before = occupied_grid(cfg, logodds)
     occ_after = occupied_grid(cfg, new_lo)

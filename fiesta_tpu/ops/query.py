@@ -132,17 +132,20 @@ def get_dist_grad_trilinear(
 
     d = (1 - dz) * v0 + dz * v1
 
+    # g_* names: gx/gy/gz are this function's GRID DIMENSIONS above —
+    # shadowing them with float gradients would silently break any later
+    # use of the dims
     res_inv = 1.0 / cfg.resolution
-    gz = (v1 - v0) * res_inv
-    gy = ((1 - dz) * (v10 - v00) + dz * (v11 - v01)) * res_inv
-    gx = (
+    g_z = (v1 - v0) * res_inv
+    g_y = ((1 - dz) * (v10 - v00) + dz * (v11 - v01)) * res_inv
+    g_x = (
         (1 - dz) * (1 - dy) * (v100 - v000)
         + (1 - dz) * dy * (v110 - v010)
         + dz * (1 - dy) * (v101 - v001)
         + dz * dy * (v111 - v011)
     ) * res_inv
 
-    grad = jnp.stack([gx, gy, gz], axis=-1)
+    grad = jnp.stack([g_x, g_y, g_z], axis=-1)
     d = jnp.where(in_map, d, -1.0)
     grad = jnp.where(in_map[..., None], grad, 0.0)
     return d, grad
@@ -158,15 +161,21 @@ def signed_distance_grid(
     inside (component C18; the reference's SIGNED_NEEDED second map is
     incomplete — Fiesta.h:516-519 TODO — this is the clean realization).
 
-    Interior distances come from an EDT over the free space; the sign
-    convention matches the usual SDF (surface at ~0).
+    Interior distances come from an EDT over the free space, truncated at
+    ``cfg.trunc_dist`` (matching the exterior contract) and CLAMPED
+    there — deep-interior voxels beyond
+    the truncation read the truncation value, never the EDT's infinity
+    sentinel (an unclamped sentinel would read as ~-1158 m and wreck any
+    penetration-depth cost consuming the SDF magnitude).
     """
     from .pallas.edt import trunc_vox_for, truncated_edt_d2
 
     outside = distance_grid(cfg, d2, seen)
-    t = trunc_vox_for(cfg.resolution, min(cfg.trunc_dist, 2.0))
+    t_m = cfg.trunc_dist
+    t = trunc_vox_for(cfg.resolution, t_m)
     d2_in = truncated_edt_d2(~occupied, t)
-    inside = jnp.sqrt(d2_in.astype(jnp.float32)) * cfg.resolution
+    inside = jnp.minimum(
+        jnp.sqrt(d2_in.astype(jnp.float32)) * cfg.resolution, t_m)
     return jnp.where(occupied, -inside, outside)
 
 

@@ -173,6 +173,7 @@ def integrate_scan_dda(
     map_origin = jnp.asarray(cfg.origin, jnp.float32)
 
     clipped, rvalid, is_hit = _prep_rays(cfg, points, valid, origin)
+    del points  # clipped/rvalid carry everything downstream
     hit_m, epfree_m = _endpoint_masks(cfg, clipped, rvalid, is_hit, window)
 
     # DDA setup in world-voxel coordinates (Fiesta.h:233-237 divides by res).
@@ -187,11 +188,8 @@ def integrate_scan_dda(
     max_dist2 = jnp.sum((end - start[None]) ** 2, axis=-1)
 
     # AABB gate in world-voxel coords: l_cornor/res <= v < r_cornor/res.
-    aabb_min = jnp.asarray(cfg.origin, jnp.float32) / res
-    aabb_max = (
-        jnp.asarray(cfg.origin, jnp.float32)
-        + jnp.asarray(cfg.map_size, jnp.float32)
-    ) / res
+    aabb_min = map_origin / res
+    aabb_max = (map_origin + jnp.asarray(cfg.map_size, jnp.float32)) / res
 
     alive0 = rvalid & ~jnp.all(step == 0, axis=-1)  # raycast.cpp:112-113
 

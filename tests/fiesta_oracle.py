@@ -18,16 +18,31 @@ import numpy as np
 class QueueESDF:
     """Queue-based incremental ESDF on a dense grid (reference semantics)."""
 
-    def __init__(self, shape, dirs):
+    def __init__(self, shape, dirs, window=None):
         self.shape = tuple(shape)
         self.dirs = [tuple(d) for d in np.asarray(dirs)]
         self.occ = np.zeros(self.shape, bool)
         self.d2 = np.full(self.shape, np.iinfo(np.int64).max // 4, np.int64)
         self.closest = np.full(self.shape + (3,), -1, np.int32)
         self.INF = np.iinfo(np.int64).max // 4
+        # optional local-update window (min_vec, max_vec) inclusive: the
+        # reference's VoxInRange gate (SetUpdateRange, component C17)
+        self.window = None
+        if window is not None:
+            self.window = (tuple(int(x) for x in window[0]),
+                           tuple(int(x) for x in window[1]))
 
     def _in_grid(self, v):
         return all(0 <= v[i] < self.shape[i] for i in range(3))
+
+    def _in_range(self, v):
+        """VoxInRange (ESDFMap.cpp:63-72): grid bound, or the update
+        window when one is set."""
+        if self.window is None:
+            return self._in_grid(v)
+        lo, hi = self.window
+        return (self._in_grid(v)
+                and all(lo[i] <= v[i] <= hi[i] for i in range(3)))
 
     @staticmethod
     def _dist2(a, b):
@@ -84,7 +99,7 @@ class QueueESDF:
                 bestc = None
                 for d in self.dirs:
                     w = (v[0] + d[0], v[1] + d[1], v[2] + d[2])
-                    if not self._in_grid(w):
+                    if not self._in_range(w):
                         continue
                     c = tuple(self.closest[w])
                     if c == (-1, -1, -1) or not self.occ[c]:
@@ -110,7 +125,7 @@ class QueueESDF:
             changed = False
             for d in self.dirs:
                 w = (v[0] + d[0], v[1] + d[1], v[2] + d[2])
-                if not self._in_grid(w):
+                if not self._in_range(w):
                     continue
                 c = tuple(self.closest[w])
                 if c == (-1, -1, -1):
@@ -126,7 +141,7 @@ class QueueESDF:
             c = tuple(self.closest[v])
             for d in self.dirs:
                 w = (v[0] + d[0], v[1] + d[1], v[2] + d[2])
-                if not self._in_grid(w):
+                if not self._in_range(w):
                     continue
                 t = self._dist2(w, c)
                 if t < self.d2[w]:

@@ -186,3 +186,57 @@ def test_cli_config_overrides(tmp_path):
     with pytest.raises(SystemExit, match="expects 3 values"):
         main(["--preset", "small", "--frames", "2", "--platform", "cpu",
               "--set", "origin=-2,-2"])
+
+
+def test_signed_distance_deep_interior_clamps_at_truncation():
+    """Obstacle interiors thicker than the truncation must read the clamp
+    value, never the EDT infinity sentinel (~-1158 m)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fiesta_tpu.ops.query import signed_distance_grid
+
+    cfg = dataclasses.replace(CFG, trunc_dist=0.2)
+    shape = cfg.grid_shape
+    occ = np.zeros(shape, bool)
+    occ[2:-2, 2:-2, 2:-2] = True        # solid block, interior >> 0.2 m
+    d2 = jnp.where(jnp.asarray(occ), 0, 10 ** 6)
+    import pytest
+
+    sdf = np.asarray(signed_distance_grid(
+        cfg, d2, jnp.ones(shape, bool), jnp.asarray(occ)))
+    assert sdf.min() >= -cfg.trunc_dist - 1e-5
+    # surface voxels stay near zero, interior saturates at the clamp
+    assert sdf[shape[0] // 2, shape[1] // 2, shape[2] // 2] == \
+        pytest.approx(-cfg.trunc_dist)
+    assert sdf[2, shape[1] // 2, shape[2] // 2] > -2 * cfg.resolution - 1e-6
+
+
+def test_set_occupancy_direct_respects_probabilistic_threshold():
+    """Direct writes must cross the active occupancy predicate: under the
+    probabilistic config the threshold is logit(p_occ) ~ 1.386, which a
+    raw 1.0 write would NOT cross (inverting the flip masks)."""
+    import jax.numpy as jnp
+
+    from fiesta_tpu.grid import occupied_grid
+    from fiesta_tpu.ops.fusion import set_occupancy_direct
+
+    assert CFG.probabilistic
+    shape = CFG.grid_shape
+    lo = jnp.zeros(shape, jnp.float32)
+    vox = jnp.asarray([[3, 4, 5], [6, 7, 8]], jnp.int32)
+
+    new_lo, ins, dele = set_occupancy_direct(
+        CFG, lo, vox, jnp.asarray([1, 1]))
+    occ = np.asarray(occupied_grid(CFG, new_lo))
+    assert occ[3, 4, 5] and occ[6, 7, 8]
+    assert np.asarray(ins)[3, 4, 5] and np.asarray(ins)[6, 7, 8]
+    assert not np.asarray(dele).any()
+
+    # clearing one flips it into the delete mask, not the insert mask
+    new_lo2, ins2, dele2 = set_occupancy_direct(
+        CFG, new_lo, vox[:1], jnp.asarray([0]))
+    occ2 = np.asarray(occupied_grid(CFG, new_lo2))
+    assert not occ2[3, 4, 5] and occ2[6, 7, 8]
+    assert np.asarray(dele2)[3, 4, 5] and not np.asarray(ins2).any()

@@ -299,3 +299,71 @@ def test_relax_fixpoint_62_stencil_tighter_than_24():
     exact = exact_edt_d2(occ)
     assert np.all(outs[62] >= exact)
     assert np.all(outs[62] <= outs[24])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_windowed_update_matches_queue_oracle(seed):
+    """Local-window mode (C17) against the queue oracle with the
+    reference's VoxInRange gates (substitute scan ESDFMap.cpp:311,
+    patch A :351, patch B :378).  In-window distances must match the
+    reference algorithm exactly — including the patch-B flow where
+    queued out-of-window voxels push their obstacle back INTO the
+    window; everywhere, ours must be valid (>= exact EDT of the true
+    occupancy) and at least as tight as the reference (out-of-window
+    reset voxels keep pulling here, where the reference freezes them)."""
+    shape = (16, 16, 8)
+    lo = np.array([4, 4, 2])
+    hi = np.array([11, 11, 5])                 # inclusive, like VoxInRange
+    rng = np.random.default_rng(seed)
+
+    wmask_np = np.zeros(shape, bool)
+    wmask_np[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1] = True
+    wmask = jnp.asarray(wmask_np)
+
+    from fiesta_tpu.grid import UNDEFINED_COORD
+
+    d2 = jnp.full(shape, INF_D2, jnp.int32)
+    c = jnp.full((3,) + shape, UNDEFINED_COORD, jnp.int16)
+    occ = np.zeros(shape, bool)
+    oracle = QueueESDF(shape, DIRS, window=(lo, hi))
+
+    in_w = wmask_np
+
+    def step(changes):
+        nonlocal d2, c, occ
+        ins = np.zeros(shape, bool)
+        for v, o in changes:
+            was = occ[v]
+            occ[v] = bool(o)
+            if o and not was:
+                ins[v] = True
+        d2, c, _ = esdf.update_esdf(
+            d2, c, jnp.asarray(occ), jnp.asarray(ins),
+            jnp.zeros(shape, bool), wmask, DIRS,
+        )
+        oracle.set_occupancy(changes)
+        ours = np.asarray(d2).astype(np.int64)
+        theirs = np.where(oracle.d2 >= oracle.INF, int(INF_D2), oracle.d2)
+        np.testing.assert_array_equal(ours[in_w], theirs[in_w])
+        assert (ours <= theirs).all(), "never looser than the reference"
+        exact = exact_edt_d2(occ)
+        finite = ours < int(INF_D2)
+        assert (ours[finite] >= exact[finite]).all(), \
+            "distances must never undercut the exact EDT"
+
+    # obstacles straddling the window border on purpose
+    for _ in range(5):
+        base = rng.integers(0, np.array(shape) - 2)
+        ext = rng.integers(1, 4, size=3)
+        vox = [
+            (x, y, z)
+            for x in range(base[0], min(base[0] + ext[0], shape[0]))
+            for y in range(base[1], min(base[1] + ext[1], shape[1]))
+            for z in range(base[2], min(base[2] + ext[2], shape[2]))
+        ]
+        step([(v, 1) for v in vox])
+        if rng.random() < 0.5 and occ.any():
+            occ_list = np.argwhere(occ)
+            kill = occ_list[rng.integers(0, len(occ_list),
+                                         size=max(1, len(occ_list) // 3))]
+            step([(tuple(v), 0) for v in kill])
