@@ -241,19 +241,18 @@ def truncated_edt_d2(occupied: jax.Array, trunc_vox: int) -> jax.Array:
     Returns int32 [X,Y,Z]: exact |v - nearest obstacle|^2 (voxel units) for
     all voxels within trunc_vox of an obstacle, INF_D2 beyond.
 
-    Runs in int16 when trunc_vox <= 100 (VPU processes 2x lanes); values are
-    re-clamped to the int16 infinity between passes (the clamp only affects
-    values already beyond the truncation radius).
+    Runs in int32 throughout.  (int16 would double the VPU lanes for
+    trunc_vox <= 100, but Mosaic on v5e cannot legalize vector
+    arith.minsi on i16 — verified: "failed to legalize operation
+    'arith.minsi'" for vector<...xi16> — see PERF.md negative results;
+    an i16 variant would also need its own pad/infinity constants, the
+    current _INF_EDT wraps in 16 bits.)
     """
     t = int(trunc_vox)
-    # int16 would double VPU lanes, but Mosaic on v5e cannot legalize
-    # vector arith.minsi on i16 (verified: "failed to legalize operation
-    # 'arith.minsi'" for vector<...xi16>) — keep i32 until supported.
-    use_i16 = False
-    if use_i16:
-        dtype, inf = jnp.int16, _I16_INF
-    else:
-        dtype, inf = jnp.int32, _INF_EDT
+    if t <= 0:
+        # degenerate truncation: only obstacle voxels are within radius 0
+        return jnp.where(occupied, 0, INF_D2).astype(jnp.int32)
+    dtype, inf = jnp.int32, _INF_EDT
     f = jnp.where(occupied, 0, inf).astype(dtype)
 
     def clamp(x):

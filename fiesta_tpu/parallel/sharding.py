@@ -20,6 +20,8 @@ from __future__ import annotations
 
 
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,9 +161,14 @@ def _relax_once_local(
     return best_d2, best_c, changed
 
 
-def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0):
+def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh,
+                              max_iters: int = 0, use_masks: bool = True):
     """Build the jitted sharded relaxation: iterate sweeps with per-sweep
-    halo exchange until no shard reports a change (global psum)."""
+    halo exchange until no shard reports a change (global psum).
+
+    ``use_masks=False`` builds the global-update variant without mask
+    inputs: every sweep then skips the full-grid mask where()s (the
+    single-device global path passes None for the same reason)."""
     dirs = cfg.stencil
     pad = _stencil_reach(dirs)
     gx = cfg.grid_shape[0]
@@ -172,7 +179,7 @@ def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0)
         f"X-slab of {lx} planes cannot serve a reach-{pad} stencil halo "
         f"(need >= {pad} planes per device)")
 
-    def local_fn(d2, closest, update_mask, source_mask):
+    def local_fn(d2, closest, update_mask=None, source_mask=None):
         x_offset = jax.lax.axis_index("x").astype(jnp.int32) * lx
 
         def cond(c):
@@ -196,12 +203,15 @@ def sharded_relax_to_fixpoint(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0)
         )
         return d2f, cf, iters
 
+    slab3 = P("x", None, None)
+    in_specs = (slab3, P(None, "x", None, None))
+    if use_masks:
+        in_specs = in_specs + (slab3, slab3)
     sm = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("x", None, None), P(None, "x", None, None),
-                  P("x", None, None), P("x", None, None)),
-        out_specs=(P("x", None, None), P(None, "x", None, None), P()),
+        in_specs=in_specs,
+        out_specs=(slab3, P(None, "x", None, None), P()),
         check_vma=False,  # pallas_call inside shard_map has no vma info
     )
     return jax.jit(sm)
@@ -265,7 +275,6 @@ def sharded_truncated_edt(cfg: FiestaConfig, mesh: Mesh, trunc_vox: int):
 def _local_truncated_edt(cfg: FiestaConfig, n: int, trunc_vox: int):
     """Shard-local body of the sharded truncated EDT (see above)."""
     from ..ops.pallas.edt import _INF_EDT, _minplus_pass, binary_pass
-    from ..grid import INF_D2 as _INF_D2
 
     gx = cfg.grid_shape[0]
     assert gx % n == 0
@@ -281,7 +290,7 @@ def _local_truncated_edt(cfg: FiestaConfig, n: int, trunc_vox: int):
         p2 = _minplus_pass(p1.transpose(1, 0, 2), t)
         p3 = _minplus_pass(p2.transpose(2, 1, 0), t)
         d2 = p3.transpose(1, 2, 0)
-        return jnp.where(d2 <= t * t, d2, _INF_D2)
+        return jnp.where(d2 <= t * t, d2, INF_D2)
 
     return local_fn
 
@@ -306,9 +315,8 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     Returns a jitted fn (state, points [K,P,3] sensor-frame, valids,
     transforms [K,4,4], cur_pos) -> (state, UpdateStats).
     """
-    import math
-
     from ..ops import fusion, raycast
+    from ..ops.pallas.edt import trunc_vox_for
     from ..pipeline import UpdateStats
 
     n = mesh.devices.size
@@ -323,7 +331,7 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         "the sharded tick runs a single-level EDT at trunc_dist; set "
         "edt_fine_dist >= trunc_dist so it matches the single-device path")
     lx = gx // n
-    t = int(math.ceil(cfg.trunc_dist / cfg.resolution))
+    t = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
     edt_local = _local_truncated_edt(cfg, n, t)
     bx, by, bz = raycast._carve_box_shape(cfg)
 
@@ -381,7 +389,7 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         check_vma=False,  # pallas_call inside shard_map has no vma info
     )
 
-    @jax.jit
+    @partial(jax.jit, donate_argnames=("state",))
     def step(state: MapState, points, valids, transforms, cur_pos):
         del cur_pos  # window mode is not sharded; global updates only
         lo, seen, hit, miss, d2, closest, stats = sm(
@@ -403,16 +411,16 @@ def sharded_esdf_update(cfg: FiestaConfig, mesh: Mesh, max_iters: int = 0):
     with a replicated occupancy copy (one all-gather of a bitmask per
     update; optimizing to neighbor-local lookups is future work).
     """
-    relax = sharded_relax_to_fixpoint(cfg, mesh, max_iters=max_iters)
+    relax = sharded_relax_to_fixpoint(cfg, mesh, max_iters=max_iters,
+                                      use_masks=False)
     from ..ops.esdf import apply_occupancy_changes
 
-    @jax.jit
+    @partial(jax.jit, donate_argnames=("d2", "closest"))
     def step(d2, closest, occupied, insert_mask):
-        d2, closest, reset = apply_occupancy_changes(
+        d2, closest, _ = apply_occupancy_changes(
             d2, closest, occupied, insert_mask
         )
-        full = jnp.ones_like(reset)
-        d2, closest, iters = relax(d2, closest, full, full)
+        d2, closest, iters = relax(d2, closest)
         return d2, closest, iters
 
     return step

@@ -70,3 +70,20 @@ def test_truncation_boundary():
     for x in range(1, t + 1):
         assert d2[x, 4, 4] == x * x
     assert d2[t + 1, 4, 4] == int(INF_D2)
+
+
+def test_truncated_edt_degenerate_zero_radius():
+    """trunc_vox=0: only obstacle voxels are within radius 0 — must not
+    crash (the Pallas binary pass previously indexed an empty shift list)
+    and must match the semantics on every backend."""
+    import jax.numpy as jnp
+
+    from fiesta_tpu.grid import INF_D2
+    from fiesta_tpu.ops.pallas.edt import truncated_edt_d2
+
+    occ = jnp.zeros((8, 8, 8), bool).at[2, 3, 4].set(True)
+    d2 = np.asarray(truncated_edt_d2(occ, 0))
+    assert d2[2, 3, 4] == 0
+    mask = np.ones((8, 8, 8), bool)
+    mask[2, 3, 4] = False
+    assert (d2[mask] == int(INF_D2)).all()
