@@ -147,8 +147,21 @@ class PointCloud2:
     def xyz(self) -> np.ndarray:
         """Extract [N,3] float32 points (NaN points preserved — the caller's
         finite-mask handles them, as pcl::fromROSMsg does for the reference).
+
+        Organized clouds may pad each row (``row_step > width*point_step``,
+        common for Kinect/OpenNI recordings): rows are decoded at their
+        ``row_step`` strides, never contiguously across the padding.
         """
         byname = {f.name: f for f in self.fields}
+        row_bytes = self.width * self.point_step
+        if self.height > 1 and self.row_step > row_bytes:
+            # strip row padding once, then decode densely
+            raw = np.frombuffer(self.data, np.uint8,
+                                count=self.height * self.row_step)
+            raw = raw.reshape(self.height, self.row_step)[:, :row_bytes]
+            data = np.ascontiguousarray(raw).tobytes()
+        else:
+            data = self.data
         n = self.height * self.width
         cols = []
         for name in ("x", "y", "z"):
@@ -157,7 +170,7 @@ class PointCloud2:
             dt = np.dtype({"names": [name], "formats": [base],
                            "offsets": [f.offset],
                            "itemsize": self.point_step})
-            col = np.frombuffer(self.data, dtype=dt, count=n)[name]
+            col = np.frombuffer(data, dtype=dt, count=n)[name]
             if self.is_bigendian:
                 col = col.byteswap()
             cols.append(col.astype(np.float32))
@@ -288,13 +301,26 @@ def _field_time(fields: Dict[str, bytes], name: str) -> float:
     return sec + 1e-9 * nsec
 
 
+def _read_exact(f, n: int, what: str) -> bytes:
+    """Read exactly n bytes or raise a clear truncation error (a recorder
+    crash leaves bags cut mid-record; rosbag reindex exists for the same
+    reason)."""
+    buf = f.read(n)
+    if len(buf) != n:
+        raise ValueError(
+            f"truncated bag: expected {n} bytes of {what} at offset "
+            f"{f.tell() - len(buf)}, got {len(buf)} (recorder crash? "
+            "try rosbag reindex on the original)")
+    return buf
+
+
 def _read_record(f) -> Optional[Tuple[Dict[str, bytes], bytes]]:
     hl = f.read(4)
     if len(hl) < 4:
         return None
     (n,) = _U32.unpack(hl)
-    header = _parse_fields(f.read(n))
-    (dn,) = _U32.unpack(f.read(4))
+    header = _parse_fields(_read_exact(f, n, "record header"))
+    (dn,) = _U32.unpack(_read_exact(f, 4, "record data length"))
     data = f.read(dn)
     return header, data
 
@@ -455,14 +481,24 @@ def read_messages(
 
     ``topics=None`` yields every topic with a supported type.  Messages are
     timestamped by their header stamp when present (what the reference's
-    synchronizer matches on, Fiesta.h:388-405) and re-ordered across topics
-    with a ``reorder_slack``-second buffer, since bags interleave topics in
-    *receive* order.
+    synchronizer matches on, Fiesta.h:388-405) and re-ordered across topics,
+    since bags interleave topics in *receive* order.
+
+    Ordering guarantee: a message is released only once every LIVE topic's
+    last-seen header stamp (its watermark) has passed it — exact whenever
+    each topic's stamps are monotone, regardless of how far header stamps
+    lag receive time (sensor pipeline latency).  The ``reorder_slack``
+    receive-time horizon is a liveness fallback: a topic that stops
+    publishing mid-bag stops holding the others back after ``slack``
+    seconds of receive time (messages of the stalled topic itself may then
+    interleave imperfectly — the price of bounded buffering).
     """
     want = set(topics) if topics is not None else None
     heap: List[Tuple[float, int, BagMessage]] = []
     seq = 0
     horizon = -np.inf
+    watermark: Dict[str, float] = {}
+    last_rec: Dict[str, float] = {}
     for t_rec, conn, payload in _iter_raw_messages(path):
         if want is not None and conn.topic not in want:
             continue
@@ -479,7 +515,15 @@ def read_messages(
                                                  conn.datatype, msg)))
         seq += 1
         horizon = max(horizon, t_rec)
-        while heap and heap[0][0] < horizon - reorder_slack:
+        watermark[conn.topic] = max(watermark.get(conn.topic, -np.inf), t)
+        last_rec[conn.topic] = t_rec
+        # release below the lowest stamp watermark among LIVE topics; a
+        # topic silent for > slack of receive time stops holding the
+        # others back (liveness fallback, bounded buffering)
+        live = [wm for tp, wm in watermark.items()
+                if horizon - last_rec[tp] <= reorder_slack]
+        flush_to = min(live) if live else horizon - reorder_slack
+        while heap and heap[0][0] < flush_to:
             yield heapq.heappop(heap)[2]
     while heap:
         yield heapq.heappop(heap)[2]
@@ -559,8 +603,13 @@ def pick_topics(
         return v, 0
 
     def best(types: Tuple[str, ...], given: Optional[str], kind: str) -> str:
-        if given is not None and given in info:
-            return given
+        if given is not None:
+            if given in info:
+                return given
+            present = {t: entry(v)[0] for t, v in info.items()}
+            raise ValueError(
+                f"requested {kind} topic {given!r} is not in the bag; "
+                f"topics present: {present}")
         cands = [(entry(v)[1], i, t) for i, (t, v) in enumerate(info.items())
                  if entry(v)[0] in types]
         if not cands:

@@ -106,10 +106,12 @@ class Timing:
         """Render the table (columns as timing.cc:173-207)."""
         out = StringIO()
         out.write("Timing\n")
-        out.write("-" * 78 + "\n")
+        out.write("-" * 85 + "\n")
+        # header widths match the data-row field widths exactly (mean and
+        # [min,max] render 19 chars each) so fixed-width parsers line up
         out.write(
-            f"{'tag':<24}{'total':>9}{'n':>6}{'mean +- std':>18}"
-            f"{'[min,max]':>18}{'Hz':>8}\n"
+            f"{'tag':<24}{'total':>9}{'n':>6}{'mean +- std':>19}"
+            f"{'[min,max]':>19}{'Hz':>8}\n"
         )
         with cls._lock:
             for tag in sorted(cls._timers):

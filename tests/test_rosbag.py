@@ -364,3 +364,72 @@ def test_cli_converter_roundtrip(tmp_path, capsys):
 
     assert _cli(["info", bag2]) == 0
     assert "PointCloud2" in capsys.readouterr().out
+
+
+def test_row_padded_organized_cloud_decodes_correctly():
+    """Organized clouds with row padding (row_step > width*point_step):
+    rows must decode at their strides, never contiguously across the
+    padding (Kinect/OpenNI recordings pad rows)."""
+    h, w = 4, 5
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(h, w, 3)).astype(np.float32)
+    point_step = 16
+    pad = 8                                  # bytes of padding per row
+    row_step = w * point_step + pad
+    raw = np.zeros((h, row_step), np.uint8)
+    for r in range(h):
+        row = np.zeros((w, point_step), np.uint8)
+        row[:, 0:12] = xyz[r].astype("<f4").view(np.uint8).reshape(w, 12)
+        raw[r, : w * point_step] = row.reshape(-1)
+    pc = rosbag.PointCloud2(
+        rosbag.Header(0, 1.0, "cam"), h, w,
+        [rosbag.PointField("x", 0, 7, 1), rosbag.PointField("y", 4, 7, 1),
+         rosbag.PointField("z", 8, 7, 1)],
+        False, point_step, row_step, raw.tobytes(), True)
+    np.testing.assert_allclose(pc.xyz(), xyz.reshape(-1, 3))
+
+
+def test_reorder_watermarks_handle_large_stamp_lag(tmp_path):
+    """A topic whose header stamps lag receive time by more than the
+    slack (sensor pipeline latency) must still come out time-ordered:
+    release is gated on per-topic stamp watermarks, not receive time."""
+    lag = 2.0     # stamp-to-receive-time skew >> default 0.5 s slack
+    msgs = []
+    t = 100.0
+    for i in range(6):
+        msgs.append((t, "/pose",
+                     rosbag.make_transform(t, [i, 0, 0], [1, 0, 0, 0])))
+        msgs.append((t + 0.05, "/depth",
+                     rosbag.make_transform(t + 0.05 - lag, [0, i, 0],
+                                           [1, 0, 0, 0])))
+        t += 0.3
+    path = str(tmp_path / "lag.bag")
+    rosbag.write_bag(path, msgs)
+    out = list(rosbag.read_messages(path))
+    assert len(out) == 12
+    ts = [m.t for m in out]
+    assert ts == sorted(ts), f"non-monotone output: {ts}"
+
+
+def test_pick_topics_rejects_missing_explicit_topic():
+    info = {"/cloud": {"type": "sensor_msgs/PointCloud2", "count": 10},
+            "/tf": {"type": "geometry_msgs/TransformStamped", "count": 10}}
+    with pytest.raises(ValueError, match="not in the bag"):
+        rosbag.pick_topics(info, sensor_topic="/typo/points")
+    with pytest.raises(ValueError, match="not in the bag"):
+        rosbag.pick_topics(info, pose_topic="/typo/pose")
+
+
+def test_truncated_record_raises_clear_error(tmp_path):
+    """A bag cut mid-record-header must name the truncation, not die with
+    a cryptic struct.error (the trailing-index region tolerates cuts; a
+    cut inside a record body cannot)."""
+    import struct
+
+    path = str(tmp_path / "cut.bag")
+    with open(path, "wb") as f:
+        f.write(rosbag.MAGIC)
+        f.write(struct.pack("<I", 100))   # record header claims 100 bytes
+        f.write(b"x" * 10)                # ...only 10 present
+    with pytest.raises(ValueError, match="truncated"):
+        list(rosbag.read_messages(path))
