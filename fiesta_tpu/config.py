@@ -292,6 +292,16 @@ class FiestaConfig:
         if not (0 < self.p_min < self.p_miss < 0.5 < self.p_hit < self.p_max < 1):
             raise ValueError("occupancy probabilities must satisfy "
                              "0 < p_min < p_miss < 0.5 < p_hit < p_max < 1")
+        if not (0 < self.p_occ < self.p_max):
+            raise ValueError(
+                f"p_occ={self.p_occ} must lie in (0, p_max={self.p_max}): "
+                "fusion clamps log-odds at logit(p_max), so an occupancy "
+                "threshold at or above it means NO voxel can ever read "
+                "occupied — the engine would silently map nothing")
+        if self.esdf_mode not in ("rebuild", "incremental"):
+            raise ValueError(
+                f"unknown esdf_mode {self.esdf_mode!r} "
+                "(expected 'rebuild' or 'incremental')")
         if self.max_ray_length + self.resolution >= 1000.0:
             raise ValueError(
                 "max_ray_length must stay below ~1000 m: the carve seed "

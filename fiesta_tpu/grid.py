@@ -170,16 +170,21 @@ def local_window(cfg: FiestaConfig, center_pos: jax.Array) -> Tuple[jax.Array, j
 
 def local_window_np(cfg: FiestaConfig, center_pos) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side (NumPy) twin of ``local_window`` — avoids device dispatches
-    for per-frame window computation."""
-    center = np.asarray(center_pos, np.float64)
-    radius = np.asarray(cfg.radius)
-    lo = np.asarray(cfg.origin)
-    hi = lo + np.asarray(cfg.map_size)
+    for per-frame window computation.  Computed in float32 so the voxel
+    bounds are BIT-IDENTICAL to the jitted float32 ``local_window`` (a
+    float64 variant can floor one voxel differently near boundaries,
+    desynchronizing the carve window from the fusion window within a
+    tick)."""
+    center = np.asarray(center_pos, np.float32)
+    radius = np.asarray(cfg.radius, np.float32)
+    lo = np.asarray(cfg.origin, np.float32)
+    hi = lo + np.asarray(cfg.map_size, np.float32)
     min_pos = np.clip(center - radius, lo, hi)
     max_pos = np.clip(center + radius, lo, hi)
-    min_vec = np.floor((min_pos - lo) / cfg.resolution).astype(np.int32)
+    res = np.float32(cfg.resolution)
+    min_vec = np.floor((min_pos - lo) / res).astype(np.int32)
     max_vec = np.floor(
-        (max_pos - 0.5 * cfg.resolution - lo) / cfg.resolution
+        (max_pos - np.float32(0.5) * res - lo) / res
     ).astype(np.int32)
     return min_vec, max_vec
 

@@ -48,6 +48,14 @@ from .ops.depth import depth_to_cloud, pose_to_matrix
 from .timing import Timer
 
 
+#: integrator registry shared by the single-scan and batched paths
+_INTEGRATORS = {
+    "projective": raycast.integrate_scan_projective,
+    "scanline": raycast.integrate_scan_scanline,
+    "dda": raycast.integrate_scan_dda,
+}
+
+
 class UpdateStats(NamedTuple):
     num_observed: jax.Array   # occupancy-queue size (ESDFMap.cpp:237)
     num_inserted: jax.Array   # insert_queue_ size   (ESDFMap.cpp:277)
@@ -76,11 +84,7 @@ def integrate_scan(
     t = transform[:3, 3]
     points_world = points_sensor @ r.T + t          # Fiesta.h:204-205
     origin = t                                       # raycast_origin_
-    fn = {
-        "projective": raycast.integrate_scan_projective,
-        "scanline": raycast.integrate_scan_scanline,
-        "dda": raycast.integrate_scan_dda,
-    }[method]
+    fn = _INTEGRATORS[method]
     res = fn(cfg, state.hit_cnt, state.miss_cnt, points_world, valid, origin,
              window)
     new_state = dataclasses.replace(
@@ -171,11 +175,6 @@ def integrate_scan_batch(
 ) -> MapState:
     """Integrate K accumulated scans in one dispatch (the reference's
     30 Hz callbacks between 10 Hz ticks)."""
-    fn = {
-        "projective": raycast.integrate_scan_projective,
-        "scanline": raycast.integrate_scan_scanline,
-        "dda": raycast.integrate_scan_dda,
-    }[method]
     if use_window:
         win = local_window(cfg, cur_pos)
     else:
@@ -192,6 +191,8 @@ def integrate_scan_batch(
         return dataclasses.replace(
             state, hit_cnt=res.hit_cnt, miss_cnt=res.miss_cnt
         )
+
+    fn = _INTEGRATORS[method]
 
     def body(carry, inp):
         hit, miss = carry
@@ -360,14 +361,17 @@ class ScanSynchronizer:
     """
 
     def __init__(self, time_delay: float = 3e-3,
-                 max_queue: int = 10000):
+                 max_queue: int = 10000, max_depth_queue: int = 64):
         """``max_queue`` bounds both queues so a stalled sensor stream
         cannot grow memory without bound (the reference's ROS subscribers
         use queue_size=10, Fiesta.h:115-116; poses are ~100 Hz so 10k is
         ~100 s of history)."""
         self.time_delay = time_delay
         self.poses: deque = deque(maxlen=max_queue)   # (t, pos, quat)
-        self.depths: deque = deque(maxlen=max_queue)  # (t, payload)
+        # depth payloads are full clouds/images (vs ~100 B poses): a
+        # stalled pose stream must not buffer gigabytes of them — the
+        # reference subscribes with queue_size=10 (Fiesta.h:115-116)
+        self.depths: deque = deque(maxlen=max_depth_queue)  # (t, payload)
 
     def push_pose(self, t: float, pos, quat_wxyz) -> None:
         self.poses.append((float(t), np.asarray(pos, np.float64),
@@ -511,11 +515,16 @@ class FiestaPipeline:
         n_frames = 0
         for payload, _, pos, quat in self.sync.drain():
             transform = self._build_transform(pos, quat)
-            origin = jnp.asarray(transform[:3, 3], jnp.float32)
 
             kind, data = payload
             if kind == "depth":
                 self.image_cnt += 1
+                if (np.prod(np.shape(data)) > cfg.max_points_per_scan):
+                    raise ValueError(
+                        f"depth image {np.shape(data)} exceeds "
+                        f"max_points_per_scan={cfg.max_points_per_scan}; "
+                        "raise it to H*W (run.py presets do) — silently "
+                        "subsampling depth pixels would drop observations")
                 with Timer("depth"):
                     use_filter = (
                         cfg.use_depth_filter
@@ -533,17 +542,15 @@ class FiestaPipeline:
                             else transform,
                             jnp.float32,
                         ),
-                        jnp.asarray(
-                            self.last_depth
-                            if self.last_depth is not None
-                            else data,
-                            jnp.float32,
-                        ),
+                        # device array cached from the previous frame: no
+                        # re-upload of the full image per frame
+                        self.last_depth
+                        if self.last_depth is not None else depth,
                         use_filter=use_filter,
                     )
                     if cfg.use_depth_filter:
                         self.last_transform = transform
-                    self.last_depth = data
+                    self.last_depth = depth
                     if self.image_cnt == 1 and cfg.use_depth_filter:
                         continue  # first frame yields nothing (Fiesta.h:353)
                 # pts_cam/valid are device arrays with static shape: pad on
