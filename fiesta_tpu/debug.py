@@ -66,7 +66,7 @@ def check_with_ground_truth(
     out: Dict[str, object] = {"num_known": int(known.sum())}
     if not occ.any() or not known.any():
         out.update(count_over=0, count_under=0, mean_error=0.0,
-                   rms_error=0.0, max_error=0.0,
+                   rms_error=0.0, max_error=0.0, max_under=0.0,
                    histogram=[0] * n_buckets)
         return out
 
@@ -74,16 +74,23 @@ def check_with_ground_truth(
     ours = np.sqrt(d2[known].astype(np.float64)) * cfg.resolution
     err = ours - truth[known]
 
-    hist = [0] * n_buckets
     over = err > 1e-3
-    for e in err[over]:
-        hist[min(int(e / 0.1), n_buckets - 1)] += 1
+    under = err < -1e-3
+    hist = np.bincount(
+        np.minimum((err[over] / 0.1).astype(np.int64), n_buckets - 1),
+        minlength=n_buckets,
+    ).tolist()
     out.update(
         count_over=int(over.sum()),
-        count_under=int((err < -1e-3).sum()),
+        count_under=int(under.sum()),
         mean_error=float(err.mean()),
         rms_error=float(np.sqrt((err**2).mean())),
-        max_error=float(err.max()),
+        # worst error in each direction: max_error = the reference's
+        # overestimate statistic; max_under = the UNSAFE direction (a
+        # distance field reporting less clearance than reality), which a
+        # signed max() would hide
+        max_error=float(np.abs(err).max()),
+        max_under=float(-err[under].min()) if under.any() else 0.0,
         histogram=hist,
     )
     return out

@@ -84,6 +84,10 @@ class NativeEsdf:
         """Queue occupancy changes: vox [N,3] int, occ [N] {0,1}."""
         vox = np.ascontiguousarray(vox, np.int32)
         occ = np.ascontiguousarray(occ, np.uint8)
+        if vox.shape != (len(occ), 3):
+            raise ValueError(
+                f"vox must be [{len(occ)},3] to match occ, got {vox.shape} "
+                "(the native loop would read past the buffer)")
         self._lib.fiesta_esdf_set_occupancy(self._h, len(occ), vox, occ)
 
     def update(self) -> int:
@@ -94,4 +98,11 @@ class NativeEsdf:
         """Squared voxel distances [X,Y,Z]; -1 where unreachable."""
         out = np.empty(int(np.prod(self.shape)), np.int64)
         self._lib.fiesta_esdf_get_dist2(self._h, out)
+        return out.reshape(self.shape)
+
+    def closest(self) -> np.ndarray:
+        """Closest-obstacle linear index per voxel [X,Y,Z]; -1 where
+        undefined (enables parity checks of the closest data itself)."""
+        out = np.empty(int(np.prod(self.shape)), np.int64)
+        self._lib.fiesta_esdf_get_closest(self._h, out)
         return out.reshape(self.shape)

@@ -143,7 +143,13 @@ class ShardedFiestaPipeline(FiestaPipeline):
                 self.cfg, mpc_cfg, self.mesh)
             self._planner_cfg = mpc_cfg
         if getattr(self, "_dist_cache", None) is None:
-            self._dist_cache = self.distance_grid()
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # cache a REPLICATED copy: the planner's lookup stage needs
+            # the full grid on every device, and caching the x-sharded
+            # array would re-run the all-gather inside every solve
+            self._dist_cache = jax.device_put(
+                self.distance_grid(), NamedSharding(self.mesh, P()))
         h = mpc_cfg.horizon
         return self._planner(
             self._dist_cache,

@@ -219,10 +219,11 @@ def make_sharded_planner(cfg: FiestaConfig, mpc: MPCConfig, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = mesh.axis_names[0]
-    rollout_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
-    assert mpc.n_rollouts % mesh.devices.size == 0, (
-        "n_rollouts must divide by the mesh size")
+    if mpc.n_rollouts % mesh.shape[axis]:
+        raise ValueError(
+            f"n_rollouts={mpc.n_rollouts} must divide by the size of mesh "
+            f"axis {axis!r} ({mesh.shape[axis]}) that shards the rollouts")
 
     def constrain(x):
         # rollout-batched arrays split on K; GSPMD turns the softmax
@@ -235,5 +236,4 @@ def make_sharded_planner(cfg: FiestaConfig, mpc: MPCConfig, mesh):
         return _plan_step_impl(cfg, mpc, dist_grid, p0, v0, goal, nominal,
                                key, constrain=constrain)
 
-    del rollout_sharding
     return jax.jit(sharded)

@@ -42,7 +42,8 @@ def occupied_pointcloud(
     occ &= ((z >= zlo) & (z <= zhi))[None, None, :]
     if window is not None:
         wmin, wmax = window
-        for ax in range(2):
+        for ax in range(3):   # the reference gates all three axes
+                              # (ESDFMap.cpp:566-568 iterates min..max_vec)
             idx = np.arange(cfg.grid_shape[ax])
             m = (idx >= wmin[ax]) & (idx <= wmax[ax])
             occ &= m.reshape([-1 if a == ax else 1 for a in range(3)])
@@ -52,7 +53,11 @@ def occupied_pointcloud(
 
 def rainbow_color_map(h: np.ndarray) -> np.ndarray:
     """HSV-blend rainbow colormap, vectorized (RainbowColorMap,
-    ESDFMap.cpp:584-637): maps [0,1] -> RGB in [0,1]."""
+    ESDFMap.cpp:584-637): maps [0,1] -> RGB in [0,1].
+
+    Note h=1.0 wraps to pure red (same as h=0): deliberate reference
+    parity — the reference passes exactly 1 for saturated distances
+    (ESDFMap.cpp:674) and its own map does ``h -= floor(h)``."""
     h = np.asarray(h, np.float64)
     h = h - np.floor(h)
     h = h * 6.0
@@ -89,14 +94,7 @@ def slice_marker(
     known finite distance; colors follow the reference's rainbow map of
     ``distance / max_dist`` clamped at 1.
     """
-    z_m = cfg.slice_vis_level if slice_z is None else slice_z
-    md = cfg.slice_vis_max_dist if max_dist is None else max_dist
-    z = int(np.floor(z_m / cfg.resolution))
-    z = int(np.clip(z, 0, cfg.grid_shape[2] - 1))
-
-    dist = np.asarray(distance_grid(cfg, state.d2, state.seen))[:, :, z]
-    seen = np.asarray(state.seen)[:, :, z]
-    known = seen & (dist < cfg.infinity_distance)
+    z, md, dist, known = _slice_fields(cfg, state, slice_z, max_dist)
     xy = np.argwhere(known)
     vox = np.concatenate([xy, np.full((len(xy), 1), z)], axis=1)
     pos = np.asarray(vox_to_pos(cfg, jnp.asarray(vox)))
@@ -110,13 +108,26 @@ def slice_image(
     max_dist: Optional[float] = None,
 ) -> np.ndarray:
     """Full [X,Y,3] RGB image of a distance slice (unknown voxels black)."""
+    _z, md, dist, known = _slice_fields(cfg, state, slice_z, max_dist)
+    img = rainbow_color_map(np.where(dist <= md, dist / md, 1.0))
+    img[~known] = 0.0
+    return img
+
+
+def _slice_fields(cfg, state, slice_z, max_dist):
+    """(z, max_dist, dist[X,Y], known[X,Y]) for one z-slice.  The slice is
+    taken from d2/seen BEFORE the metric conversion and host transfer — a
+    full-grid distance_grid here would compute and copy the whole volume
+    per visualized frame for one plane's worth of data."""
     z_m = cfg.slice_vis_level if slice_z is None else slice_z
     md = cfg.slice_vis_max_dist if max_dist is None else max_dist
     z = int(np.clip(int(np.floor(z_m / cfg.resolution)), 0,
                     cfg.grid_shape[2] - 1))
-    dist = np.asarray(distance_grid(cfg, state.d2, state.seen))[:, :, z]
-    seen = np.asarray(state.seen)[:, :, z]
-    known = seen & (dist < cfg.infinity_distance)
-    img = rainbow_color_map(np.where(dist <= md, dist / md, 1.0))
-    img[~known] = 0.0
-    return img
+    d2 = np.asarray(state.d2[:, :, z])
+    seen = np.asarray(state.seen[:, :, z])
+    from .grid import INF_D2
+
+    known = seen & (d2 < int(INF_D2))
+    dist = np.where(known, np.sqrt(d2.astype(np.float64)) * cfg.resolution,
+                    cfg.infinity_distance)
+    return z, md, dist, known
