@@ -147,12 +147,23 @@ class TileArchive:
         )
 
     def save(self, path: str) -> None:
-        """Snapshot the directory to one ``.npz`` (checkpoint/resume)."""
+        """Snapshot the directory to one ``.npz`` (checkpoint/resume).
+
+        Atomic (tmp + rename) so a crash mid-write cannot leave a
+        truncated archive next to a valid checkpoint.
+        """
+        import os
+
         arrays = {"__tile_shape__": np.asarray(self.tile_shape, np.int64)}
         for (tx, ty, tz), tile in self.tiles.items():
             arrays[f"lo_{tx}_{ty}_{tz}"] = tile["logodds"]
             arrays[f"sn_{tx}_{ty}_{tz}"] = tile["seen"]
-        np.savez_compressed(path, **arrays)
+        tmp = path + ".tmp"
+        np.savez_compressed(tmp, **arrays)
+        # numpy appends .npz to names without it
+        if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
+            tmp += ".npz"
+        os.replace(tmp, path)
 
     @classmethod
     def from_file(cls, path: str) -> "TileArchive":

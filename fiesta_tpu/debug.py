@@ -66,8 +66,8 @@ def check_with_ground_truth(
     out: Dict[str, object] = {"num_known": int(known.sum())}
     if not occ.any() or not known.any():
         out.update(count_over=0, count_under=0, mean_error=0.0,
-                   rms_error=0.0, max_error=0.0, max_under=0.0,
-                   histogram=[0] * n_buckets)
+                   rms_error=0.0, max_abs_error=0.0, max_over=0.0,
+                   max_under=0.0, histogram=[0] * n_buckets)
         return out
 
     truth = ndimage.distance_transform_edt(~occ) * cfg.resolution
@@ -85,11 +85,13 @@ def check_with_ground_truth(
         count_under=int(under.sum()),
         mean_error=float(err.mean()),
         rms_error=float(np.sqrt((err**2).mean())),
-        # worst error in each direction: max_error = the reference's
-        # overestimate statistic; max_under = the UNSAFE direction (a
-        # distance field reporting less clearance than reality), which a
-        # signed max() would hide
-        max_error=float(np.abs(err).max()),
+        # worst error per direction, unambiguously named: max_over = the
+        # reference's overestimate statistic (ESDFMap.cpp:940-978, its
+        # "max error"); max_under = the UNSAFE direction (a distance field
+        # reporting less clearance than reality), which a signed max()
+        # would hide; max_abs_error = the larger of the two
+        max_abs_error=float(np.abs(err).max()),
+        max_over=float(err[over].max()) if over.any() else 0.0,
         max_under=float(-err[under].min()) if under.any() else 0.0,
         histogram=hist,
     )

@@ -487,11 +487,17 @@ def read_messages(
     Ordering guarantee: a message is released only once every LIVE topic's
     last-seen header stamp (its watermark) has passed it — exact whenever
     each topic's stamps are monotone, regardless of how far header stamps
-    lag receive time (sensor pipeline latency).  The ``reorder_slack``
-    receive-time horizon is a liveness fallback: a topic that stops
-    publishing mid-bag stops holding the others back after ``slack``
-    seconds of receive time (messages of the stalled topic itself may then
-    interleave imperfectly — the price of bounded buffering).
+    lag receive time (sensor pipeline latency).  During warm-up (before
+    every requested topic has published at least once) releases are held
+    to the ``reorder_slack`` receive-time horizon instead, so an
+    early-stamped message of a late-starting topic cannot be beaten out
+    of order by the topics that started first.  ``reorder_slack`` is also
+    the liveness fallback: a topic that stops publishing mid-bag (or a
+    requested topic absent from the bag entirely) stops holding the others
+    back after ``slack`` seconds of receive time (messages of the stalled
+    topic itself may then interleave imperfectly — the price of bounded
+    buffering).  With ``topics=None`` the full topic set is unknown up
+    front, so the warm-up hold covers only topics already seen.
     """
     want = set(topics) if topics is not None else None
     heap: List[Tuple[float, int, BagMessage]] = []
@@ -523,6 +529,11 @@ def read_messages(
         live = [wm for tp, wm in watermark.items()
                 if horizon - last_rec[tp] <= reorder_slack]
         flush_to = min(live) if live else horizon - reorder_slack
+        if want is not None and not want <= watermark.keys():
+            # warm-up: a requested topic has not published yet, so the
+            # live-watermark min does not bound its (unknown) first stamp —
+            # hold to the slack horizon until it appears or times out
+            flush_to = min(flush_to, horizon - reorder_slack)
         while heap and heap[0][0] < flush_to:
             yield heapq.heappop(heap)[2]
     while heap:

@@ -159,5 +159,17 @@ class ShardedFiestaPipeline(FiestaPipeline):
             jnp.asarray(goal, jnp.float32),
             jnp.zeros((h, 3), jnp.float32) if nominal is None
             else jnp.asarray(nominal, jnp.float32),
-            jax.random.PRNGKey(0) if key is None else key,
+            self._next_plan_key() if key is None else key,
         )
+
+    def _next_plan_key(self):
+        """Per-pipeline PRNG stream for ``plan()`` calls without a caller
+        key: split a persistent key each solve so a receding-horizon loop
+        gets fresh MPPI exploration noise every step instead of silently
+        re-sampling PRNGKey(0)'s."""
+        base = getattr(self, "_plan_key", None)
+        if base is None:
+            base = jax.random.PRNGKey(0)
+        base, sub = jax.random.split(base)
+        self._plan_key = base
+        return sub

@@ -403,6 +403,11 @@ def main(argv=None) -> int:
 
             checkpoint.save(args.checkpoint, cfg, pipe.state,
                             origin_vox=getattr(pipe, "origin_vox", None))
+            # keep the persistent world archive in lockstep: a crash-resume
+            # pairing a fresh checkpoint with a stale archive would silently
+            # lose every strip evicted since the run started
+            if args.persist and getattr(pipe, "archive", None) is not None:
+                pipe.archive.save(args.persist)
 
     profile_cm = None
     if args.profile_dir:

@@ -193,6 +193,22 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         n = np.asarray(cfg.grid_shape, np.int64)
         step = np.maximum(n // 4, 1)
         half = np.asarray(cfg.map_size) / 2
+
+        def _trig(center_off):
+            off_vox = np.abs(center_off) / cfg.resolution
+            # the step/2 gate guarantees each step strictly shrinks |off|
+            # (no oscillation when recenter_fraction < 0.25); the robot
+            # ends within max(threshold, step/2) of center
+            return (np.abs(center_off) > self.recenter_fraction * half) \
+                & (off_vox > step / 2)
+
+        # cheap pre-check: when recenter_fraction < 0.25 there is a dead
+        # band where |off| exceeds the fraction threshold (so maybe_recenter
+        # routes here every frame) but no fixed step will actually fire —
+        # bail before paying the full counter-drain tick below
+        if not _trig(np.asarray(robot_pos, np.float64)
+                     - (self.world_origin + half)).any():
+            return False
         # drain pending hit/miss counters into log-odds BEFORE evicting:
         # the strip's accumulated observations would otherwise scroll off
         # the counter grids and be lost, while the reference's
@@ -209,12 +225,7 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         for _ in range(64):
             center = self.world_origin + half
             off = np.asarray(robot_pos, np.float64) - center
-            off_vox = np.abs(off) / cfg.resolution
-            # the step/2 gate guarantees each step strictly shrinks |off|
-            # (no oscillation when recenter_fraction < 0.25); the robot
-            # ends within max(threshold, step/2) of center
-            trig = (np.abs(off) > self.recenter_fraction * half) \
-                & (off_vox > step / 2)
+            trig = _trig(off)
             if not trig.any():
                 break
             shift_vox = np.where(trig, np.sign(off).astype(np.int64) * step,

@@ -73,7 +73,9 @@ def test_ground_truth_report():
     rep = debug.check_with_ground_truth(CFG, state)
     assert rep["num_known"] > 0
     assert rep["count_under"] == 0          # never underestimates
-    assert rep["max_error"] < 0.2           # near-optimal 24-stencil
+    assert rep["max_under"] == 0.0
+    assert rep["max_abs_error"] < 0.2       # near-optimal 24-stencil
+    assert rep["max_over"] <= rep["max_abs_error"]
     assert sum(rep["histogram"]) == rep["count_over"]
 
 
