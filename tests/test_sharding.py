@@ -371,7 +371,10 @@ def test_sharded_pipeline_matches_single_device_engine():
     mpc_cfg = mpc_mod.MPCConfig(n_rollouts=64, horizon=8, refine_steps=2)
     goal = np.asarray([0.5, 0.5, 0.0])
     sp.cur_pos = np.zeros(3)
-    res_sh = sp.plan(goal, mpc_cfg)
+    # key passed explicitly: plan() without a key draws from the
+    # pipeline's own PRNG stream (fresh noise per solve), which would not
+    # match the reference solve's PRNGKey(0)
+    res_sh = sp.plan(goal, mpc_cfg, key=jax.random.PRNGKey(0))
 
     res_ref = mpc_mod.plan_step(
         cfg, mpc_cfg,
