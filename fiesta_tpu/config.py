@@ -192,6 +192,14 @@ class FiestaConfig:
     probabilistic: bool = True        # PROBABILISTIC
     signed_needed: bool = False       # SIGNED_NEEDED: maintain inverse map
 
+    # Maintain per-voxel closest-obstacle coordinates in rebuild mode
+    # (reference closest_obstacle_, ESDFMap.h:92-96 — always on there).
+    # The argmin rides the packed min-plus EDT passes at near-zero extra
+    # cost (ops/pallas/edt.closest_plan documents the int32 bit budget;
+    # grids/truncations that exceed it silently leave `closest` stale, as
+    # round 1 always did — pipeline.rebuild_tracks_closest reports which).
+    track_closest: bool = True
+
     # --- TPU-native knobs (no reference analog) ----------------------------
     # Exponential long-range relaxation offsets (0 = off, parity mode).
     # See jump_offsets(): preserves correctness, converges in O(log) sweeps.
@@ -200,7 +208,11 @@ class FiestaConfig:
     #   "rebuild":     fixed-cost exact truncated EDT every update (Pallas
     #                  kernel; hard real-time, exact within trunc_dist).
     #   "incremental": queue-semantics masked relaxation (reference parity,
-    #                  unbounded distances).
+    #                  unbounded distances).  VALIDATION ORACLE, not a
+    #                  production option: bit-exact vs the reference's
+    #                  queue fixpoint for tests, but ~4 s/batch on fresh
+    #                  streams at cow_and_lady scale (40x the 100 ms
+    #                  budget) — deploy with "rebuild".
     esdf_mode: str = "rebuild"
     # Truncation radius (meters) for rebuild mode; distances beyond read as
     # infinity.  Planners consume distances well below sensor range.

@@ -269,6 +269,434 @@ def trunc_vox_for(resolution: float, trunc_dist: float) -> int:
     return int(math.ceil(trunc_dist / resolution))
 
 
+# ---------------------------------------------------------------------------
+# Closest-obstacle tracking (reference closest_obstacle_, ESDFMap.h:92-96)
+# ---------------------------------------------------------------------------
+#
+# The reference maintains, for every voxel, the coordinates of its nearest
+# obstacle (updated throughout UpdateESDF, src/ESDFMap.cpp:273-398).  The
+# rebuild-mode equivalent tracks the argmin through the separable min-plus
+# passes by packing it into the SAME int32 the distance rides in:
+#
+#     packed = val << S | payload
+#
+# Integer `min` on packed values is lexicographic (value first, payload as
+# tie-break), so the window loops keep their exact op count: adding k^2<<S
+# to a shifted slab leaves the payload bits untouched.  Per pass the payload
+# grows by one coordinate:
+#
+#   pass 1 (binary, axis A):  payload = a*           (source row index)
+#   pass 2 (window, axis B):  payload = b*<<bA | a*  (own b added in prologue)
+#   pass 3 (axis C) runs as TWO half-window accumulators (negative /
+#   positive offsets) so the payload never needs c* — the winning offset
+#   magnitude is recovered arithmetically afterwards:
+#
+#       (c - c*)^2 = d2 - (a - a*)^2 - (b - b*)^2
+#
+#   and the accumulator that won fixes the sign.  The half windows cost
+#   4 ops per offset vs the paired pass's 3 — the only extra work.
+#
+# Bit budget (int32): bits(2*t^2+1) + bits(A) + bits(B) <= 31, with C chosen
+# as the WIDEST axis so A/B are the cheap ones.  cow_and_lady
+# (400x400x80, t=100): 15 + 9 + 7 = 31.  `closest_plan` returns None when
+# the budget doesn't fit and callers fall back to the d2-only transform.
+
+
+def closest_plan(shape, trunc_vox: int):
+    """Axis assignment + bit layout for argmin tracking, or None if the
+    packed representation cannot fit int32 for this (shape, t)."""
+    t = int(trunc_vox)
+    if t <= 0:
+        return None
+    cap = t * t + 1                    # "beyond truncation" value sentinel
+    bits = [max(int(n - 1).bit_length(), 1) for n in shape]
+    c_axis = int(np.argmax(bits))      # widest axis pays no payload bits
+    a_axis, b_axis = [i for i in range(3) if i != c_axis]
+    ba, bb = bits[a_axis], bits[b_axis]
+    vbits = int(2 * t * t + 1).bit_length()   # max mid-pass value
+    if vbits + ba + bb > 31:
+        return None
+    return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
+                s=ba + bb, cap=cap, t=t)
+
+
+def _shift_lead(x: jax.Array, k: int, fill) -> jax.Array:
+    """result[i] = x[i + k] along the leading axis, `fill` beyond the end."""
+    if k == 0:
+        return x
+    blk = jnp.full((abs(k),) + x.shape[1:], fill, x.dtype)
+    if k > 0:
+        return jnp.concatenate([x[k:], blk], 0)
+    return jnp.concatenate([blk, x[:k]], 0)
+
+
+def _binary_packed_xla(occ: jax.Array, plan) -> jax.Array:
+    """Packed binary first pass along the LEADING axis (XLA fallback).
+
+    occ: [A, M, L] bool/int.  Returns packed int32 (val<<ba | a*) with
+    val = (L1 distance)^2 clamped to cap beyond t."""
+    a = occ.shape[0]
+    t = min(plan["t"], a - 1)
+    ba, cap = plan["ba"], plan["cap"]
+    l1inf = np.int32(t + 1)
+    iota = jnp.arange(a, dtype=jnp.int32).reshape(
+        (a,) + (1,) * (occ.ndim - 1))
+    packed = jnp.where(occ > 0, 0, jnp.int32(l1inf) << ba) | iota
+    fill = np.int32(int(l1inf) << ba)
+    s, reach = 1, 0
+    while reach < t:
+        lo = _shift_lead(packed, -s, fill)
+        hi = _shift_lead(packed, s, fill)
+        packed = jnp.minimum(packed, jnp.minimum(lo, hi) + (s << ba))
+        reach += s
+        s *= 2
+    d = packed >> ba
+    astar = packed & ((1 << ba) - 1)
+    val = jnp.where(d > t, np.int32(cap), d * d)
+    return (val << ba) | astar
+
+
+def _window_packed_xla(p1: jax.Array, plan) -> jax.Array:
+    """Packed paired window pass along the LEADING axis (XLA fallback).
+
+    p1: [B, M, L] packed (val<<ba | a*).  Returns (val<<s | b*<<ba | a*)
+    with val clamped to cap."""
+    b = p1.shape[0]
+    t = min(plan["t"], b - 1)
+    ba, s, cap = plan["ba"], plan["s"], plan["cap"]
+    iota = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (p1.ndim - 1))
+    v = p1 >> ba
+    astar = p1 & ((1 << ba) - 1)
+    packed = (v << s) | (iota << ba) | astar
+    fill = np.int32(int(cap) << s)
+    acc = packed
+    for k in range(1, t + 1):
+        lo = _shift_lead(packed, -k, fill)
+        hi = _shift_lead(packed, k, fill)
+        acc = jnp.minimum(acc, jnp.minimum(lo, hi) + ((k * k) << s))
+    v2 = jnp.minimum(acc >> s, np.int32(cap))
+    return (v2 << s) | (acc & ((1 << s) - 1))
+
+
+def _split_packed_xla(p2: jax.Array, plan):
+    """Split-sign final pass along the LEADING axis (XLA fallback).
+
+    Returns (val [C,M,L] i32, pay i32 = sign<<s | b*<<ba | a*): sign=1 means
+    the winning obstacle sits at HIGHER c than the voxel."""
+    c = p2.shape[0]
+    t = min(plan["t"], c - 1)
+    s, cap = plan["s"], plan["cap"]
+    fill = np.int32(int(cap) << s)
+    acc_n = p2
+    acc_p = p2
+    for k in range(1, t + 1):
+        kk = (k * k) << s
+        acc_n = jnp.minimum(acc_n, _shift_lead(p2, -k, fill) + kk)
+        acc_p = jnp.minimum(acc_p, _shift_lead(p2, k, fill) + kk)
+    vn, vp = acc_n >> s, acc_p >> s
+    use_p = vp < vn
+    val = jnp.minimum(vn, vp)
+    mask_s = (1 << s) - 1
+    pay = jnp.where(use_p, (acc_p & mask_s) | (1 << s), acc_n & mask_s)
+    return val, pay
+
+
+def _binary_packed_pallas(occ: jax.Array, plan,
+                          interpret: bool = False) -> jax.Array:
+    """Pallas twin of ``_binary_packed_xla`` (doubling steps in VMEM)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a, m, l = occ.shape
+    t = min(plan["t"], a - 1)
+    ba, cap = plan["ba"], plan["cap"]
+    l1inf = t + 1
+    fill = np.int32(l1inf << ba)
+    shifts = []
+    sft, reach = 1, 0
+    while reach < t:
+        shifts.append(sft)
+        reach += sft
+        sft *= 2
+    pad = shifts[-1]
+
+    r = m * l
+    bl = 128
+    rpad = -r % bl
+    f2 = occ.reshape(a, r).astype(jnp.uint8)
+    if rpad:
+        f2 = jnp.pad(f2, ((0, 0), (0, rpad)))
+    rp = r + rpad
+
+    def kernel(f_ref, out_ref, buf):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            buf[pl.ds(0, pad), :] = jnp.full((pad, bl), fill, jnp.int32)
+            buf[pl.ds(pad + a, pad), :] = jnp.full((pad, bl), fill,
+                                                   jnp.int32)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (a, bl), 0)
+        occ_blk = f_ref[:, :]
+        # arithmetic select (occ is {0,1}): Mosaic rejects a vselect whose
+        # branches are both scalar splats ("invalid relayout ... replicated
+        # in destination but not in source")
+        free = np.int32(1) - occ_blk.astype(jnp.int32)
+        buf[pl.ds(pad, a), :] = free * np.int32(l1inf << ba) + iota
+        for sh in shifts:
+            g = buf[pl.ds(pad, a), :]
+            lo = buf[pl.ds(pad - sh, a), :]
+            hi = buf[pl.ds(pad + sh, a), :]
+            buf[pl.ds(pad, a), :] = jnp.minimum(
+                g, jnp.minimum(lo, hi) + np.int32(sh << ba))
+        p = buf[pl.ds(pad, a), :]
+        d = p >> ba
+        astar = p & np.int32((1 << ba) - 1)
+        val = jnp.where(d > t, np.int32(cap), d * d)
+        out_ref[:, :] = (val << ba) | astar
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((a, rp), jnp.int32),
+        grid=(rp // bl,),
+        in_specs=[
+            pl.BlockSpec((a, bl), lambda j: (0, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((a, bl), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((a + 2 * pad, bl), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f2)
+    return out[:, :r].reshape(a, m, l)
+
+
+def _window_packed_pallas(p1: jax.Array, plan,
+                          interpret: bool = False) -> jax.Array:
+    """Pallas twin of ``_window_packed_xla``: identical window op count to
+    the d2-only pass (the payload rides in the low bits)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, m, l = p1.shape
+    t = min(plan["t"], b - 1)
+    ba, s, cap = plan["ba"], plan["s"], plan["cap"]
+    fill = np.int32(int(cap) << s)
+
+    r = m * l
+    bl = 128
+    rpad = -r % bl
+    f2 = p1.reshape(b, r)
+    if rpad:
+        f2 = jnp.pad(f2, ((0, 0), (0, rpad)), constant_values=fill)
+    rp = r + rpad
+
+    def kernel(f_ref, out_ref, buf):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            buf[pl.ds(0, t), :] = jnp.full((t, bl), fill, jnp.int32)
+            buf[pl.ds(t + b, t), :] = jnp.full((t, bl), fill, jnp.int32)
+
+        raw = f_ref[:, :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, bl), 0)
+        v = raw >> ba
+        astar = raw & np.int32((1 << ba) - 1)
+        buf[pl.ds(t, b), :] = (v << s) | (iota << ba) | astar
+
+        acc = buf[pl.ds(t, b), :]
+        for k in range(1, t + 1):
+            lo = buf[pl.ds(t - k, b), :]
+            hi = buf[pl.ds(t + k, b), :]
+            acc = jnp.minimum(acc, jnp.minimum(lo, hi)
+                              + np.int32((k * k) << s))
+        v2 = jnp.minimum(acc >> s, np.int32(cap))
+        out_ref[:, :] = (v2 << s) | (acc & np.int32((1 << s) - 1))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, rp), jnp.int32),
+        grid=(rp // bl,),
+        in_specs=[
+            pl.BlockSpec((b, bl), lambda j: (0, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((b, bl), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b + 2 * t, bl), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f2)
+    return out[:, :r].reshape(b, m, l)
+
+
+def _split_packed_pallas(p2: jax.Array, plan, interpret: bool = False):
+    """Pallas twin of ``_split_packed_xla``: two half-window accumulators
+    (4 VPU ops per offset vs the paired pass's 3), combined in-kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c, m, l = p2.shape
+    t = min(plan["t"], c - 1)
+    s, cap = plan["s"], plan["cap"]
+    fill = np.int32(int(cap) << s)
+
+    r = m * l
+    bl = 128
+    rpad = -r % bl
+    f2 = p2.reshape(c, r)
+    if rpad:
+        f2 = jnp.pad(f2, ((0, 0), (0, rpad)), constant_values=fill)
+    rp = r + rpad
+
+    def kernel(f_ref, val_ref, pay_ref, buf):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            buf[pl.ds(0, t), :] = jnp.full((t, bl), fill, jnp.int32)
+            buf[pl.ds(t + c, t), :] = jnp.full((t, bl), fill, jnp.int32)
+
+        buf[pl.ds(t, c), :] = f_ref[:, :]
+        center = buf[pl.ds(t, c), :]
+        acc_n = center
+        acc_p = center
+        for k in range(1, t + 1):
+            kk = np.int32((k * k) << s)
+            acc_n = jnp.minimum(acc_n, buf[pl.ds(t - k, c), :] + kk)
+            acc_p = jnp.minimum(acc_p, buf[pl.ds(t + k, c), :] + kk)
+        vn = acc_n >> s
+        vp = acc_p >> s
+        use_p = vp < vn
+        mask_s = np.int32((1 << s) - 1)
+        val_ref[:, :] = jnp.minimum(vn, vp)
+        pay_ref[:, :] = jnp.where(
+            use_p, (acc_p & mask_s) | np.int32(1 << s), acc_n & mask_s)
+
+    val, pay = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((c, rp), jnp.int32),
+                   jax.ShapeDtypeStruct((c, rp), jnp.int32)),
+        grid=(rp // bl,),
+        in_specs=[
+            pl.BlockSpec((c, bl), lambda j: (0, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((c, bl), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, bl), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((c + 2 * t, bl), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f2)
+    return (val[:, :r].reshape(c, m, l), pay[:, :r].reshape(c, m, l))
+
+
+def _closest_passes(occ_t, plan, interpret: bool):
+    """The three packed passes on the transposed [A,B,C] volume; returns
+    (val, pay) in [C,A,B] layout."""
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if on_tpu:
+        p1 = _binary_packed_pallas(occ_t, plan, interpret)      # [A,B,C]
+        p2 = _window_packed_pallas(p1.transpose(1, 0, 2), plan,
+                                   interpret)                   # [B,A,C]
+        return _split_packed_pallas(p2.transpose(2, 1, 0), plan,
+                                    interpret)                  # [C,A,B]
+    p1 = _binary_packed_xla(occ_t, plan)
+    p2 = _window_packed_xla(p1.transpose(1, 0, 2), plan)
+    return _split_packed_xla(p2.transpose(2, 1, 0), plan)
+
+
+@partial(jax.jit, static_argnames=("trunc_vox", "interpret"))
+def truncated_edt_d2_closest(
+    occupied: jax.Array, trunc_vox: int, interpret: bool = False
+):
+    """Exact truncated squared EDT *with* per-voxel closest-obstacle coords.
+
+    Returns (d2 int32 [X,Y,Z], closest int16 [3,X,Y,Z]); closest reads
+    UNDEFINED_COORD (-1) wherever d2 == INF_D2.  Identical d2 to
+    ``truncated_edt_d2``.  Requires ``closest_plan(shape, trunc_vox)`` to
+    fit; callers gate on it.
+    """
+    from ...grid import UNDEFINED_COORD
+
+    plan = closest_plan(occupied.shape, trunc_vox)
+    assert plan is not None, (
+        f"closest tracking unsupported for shape={occupied.shape} "
+        f"t={trunc_vox}: packed argmin exceeds int32")
+    t, ba, bb, s = plan["t"], plan["ba"], plan["bb"], plan["s"]
+    a_ax, b_ax, c_ax = plan["a"], plan["b"], plan["c"]
+
+    occ_t = occupied.transpose(a_ax, b_ax, c_ax).astype(jnp.uint8)
+    val, pay = _closest_passes(occ_t, plan, interpret)      # [C,A,B]
+
+    # back to natural [X,Y,Z]: current layout axes are (c_ax, a_ax, b_ax)
+    inv = tuple(int(i) for i in np.argsort((c_ax, a_ax, b_ax)))
+    val = val.transpose(inv)
+    pay = pay.transpose(inv)
+
+    shape = occupied.shape
+    sign = (pay >> s) & 1
+    bstar = (pay >> ba) & ((1 << bb) - 1)
+    astar = pay & ((1 << ba) - 1)
+    ia = jax.lax.broadcasted_iota(jnp.int32, shape, a_ax)
+    ib = jax.lax.broadcasted_iota(jnp.int32, shape, b_ax)
+    ic = jax.lax.broadcasted_iota(jnp.int32, shape, c_ax)
+    dc2 = val - (ia - astar) ** 2 - (ib - bstar) ** 2
+    dc = jnp.round(jnp.sqrt(jnp.maximum(dc2, 0).astype(jnp.float32))
+                   ).astype(jnp.int32)
+    cstar = jnp.where(sign > 0, ic + dc, ic - dc)
+
+    valid = val <= t * t
+    d2 = jnp.where(valid, val, INF_D2)
+    undef = jnp.int16(UNDEFINED_COORD)
+    coords = [None, None, None]
+    coords[a_ax] = astar
+    coords[b_ax] = bstar
+    coords[c_ax] = cstar
+    closest = jnp.stack(
+        [jnp.where(valid, c.astype(jnp.int16), undef) for c in coords])
+    return d2, closest
+
+
+@partial(jax.jit, static_argnames=("t_fine", "t_total", "interpret"))
+def hierarchical_edt_d2_closest(
+    occupied: jax.Array, t_fine: int, t_total: int, interpret: bool = False
+):
+    """Two-level EDT with closest tracking.  The fine field's closest is
+    exact; the far field's comes from the coarse grid (coordinates snapped
+    to the even corner of the winning 2x2x2 block — approximate by up to
+    one fine voxel per axis, consistent with the far field's own +-1
+    coarse-voxel distance quantization)."""
+    from ...grid import UNDEFINED_COORD
+
+    gx, gy, gz = occupied.shape
+    assert gx % 2 == 0 and gy % 2 == 0 and gz % 2 == 0
+
+    fine_d2, fine_cl = truncated_edt_d2_closest(occupied, t_fine, interpret)
+
+    if jax.default_backend() == "tpu" and not interpret:
+        occ_c = _downsample2_any(occupied)
+    else:
+        occ_c = occupied.reshape(gx // 2, 2, gy // 2, 2, gz // 2, 2).any(
+            axis=(1, 3, 5))
+    d2c, clc = truncated_edt_d2_closest(occ_c, -(-t_total // 2), interpret)
+    d2c = jnp.where(d2c >= INF_D2, INF_D2, d2c * 4)
+    up = jnp.repeat(jnp.repeat(jnp.repeat(d2c, 2, 0), 2, 1), 2, 2)
+    clc2 = jnp.where(clc < 0, jnp.int16(UNDEFINED_COORD),
+                     (clc * jnp.int16(2)))
+    cl_up = jnp.repeat(jnp.repeat(jnp.repeat(clc2, 2, 1), 2, 2), 2, 3)
+
+    use_fine = fine_d2 < INF_D2
+    d2 = jnp.where(use_fine, fine_d2, up)
+    closest = jnp.where(use_fine[None], fine_cl, cl_up)
+    return d2, closest
+
+
 def _downsample2_any(occ: jax.Array) -> jax.Array:
     """2x2x2 "any" pooling of a bool grid.
 

@@ -63,7 +63,8 @@ def get_distance(
 
 
 def get_dist_grad_trilinear(
-    cfg: FiestaConfig, dist: jax.Array, pos: jax.Array
+    cfg: FiestaConfig, dist: jax.Array, pos: jax.Array,
+    out_value: float = -1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Trilinearly interpolated distance + analytic gradient of the
     interpolant (GetDistWithGradTrilinear, ESDFMap.cpp:481-540).
@@ -71,10 +72,13 @@ def get_dist_grad_trilinear(
     Args:
       dist: dense [X,Y,Z] metric distance grid (from ``distance_grid``).
       pos:  [...,3] world positions.
+      out_value: value returned for out-of-map queries.  The reference's
+        -1 (ESDFMap.cpp:483-484) is the default; callers querying a
+        SIGNED grid pass something unambiguous (interior distances are
+        legitimately negative there).
 
     Returns:
-      (dist [...,], grad [...,3]).  Out-of-map: dist=-1, grad=0 (reference
-      returns -1 and leaves grad untouched, ESDFMap.cpp:483-484).
+      (dist [...,], grad [...,3]).  Out-of-map: dist=out_value, grad=0.
 
     TPU note: XLA executes per-element gathers at ~9 us per thousand
     elements, which would dominate MPC rollouts (millions of corner reads
@@ -146,9 +150,45 @@ def get_dist_grad_trilinear(
     ) * res_inv
 
     grad = jnp.stack([g_x, g_y, g_z], axis=-1)
-    d = jnp.where(in_map, d, -1.0)
+    d = jnp.where(in_map, d, out_value)
     grad = jnp.where(in_map[..., None], grad, 0.0)
     return d, grad
+
+
+def get_closest_obstacle(
+    cfg: FiestaConfig,
+    closest: jax.Array,   # [3, X, Y, Z] int16 (MapState.closest)
+    d2: jax.Array,        # [X, Y, Z] int32
+    seen: jax.Array,      # [X, Y, Z] bool (MapState.seen)
+    pos: jax.Array,       # [..., 3] world positions
+) -> Tuple[jax.Array, jax.Array]:
+    """Closest-obstacle query: world coordinates of the nearest obstacle
+    voxel center and its distance, per query position.
+
+    The reference maintains ``closest_obstacle_`` per voxel
+    (ESDFMap.h:92-96) but exposes no point query for it; this is the
+    natural API over the same state.  Undefined entries (no obstacle
+    within truncation, unobserved voxel — matching ``get_distance``'s
+    unknown-reads-infinity convention — or out-of-map queries) return
+    ``dist = cfg.infinity_distance`` with NaN coordinates.
+    """
+    in_map = pos_in_map(cfg, pos)
+    vox = pos_to_vox(cfg, pos)
+    gx, gy, gz = cfg.grid_shape
+    v = jnp.clip(vox, 0, jnp.array([gx - 1, gy - 1, gz - 1], jnp.int32))
+    c = jnp.stack(
+        [closest[i][v[..., 0], v[..., 1], v[..., 2]] for i in range(3)],
+        axis=-1,
+    ).astype(jnp.int32)                                   # [..., 3]
+    d2_v = d2[v[..., 0], v[..., 1], v[..., 2]]
+    seen_v = seen[v[..., 0], v[..., 1], v[..., 2]]
+    defined = in_map & seen_v & (c[..., 0] >= 0) & (d2_v < INF_D2)
+    pts = vox_to_pos(cfg, c)
+    dist = jnp.sqrt(d2_v.astype(jnp.float32)) * cfg.resolution
+    return (
+        jnp.where(defined[..., None], pts, jnp.nan),
+        jnp.where(defined, dist, cfg.infinity_distance),
+    )
 
 
 def signed_distance_grid(

@@ -115,6 +115,54 @@ def rebuild_d2(cfg: FiestaConfig, occupied: jax.Array) -> jax.Array:
 rebuild_d2_jit = partial(jax.jit, static_argnames=("cfg",))(rebuild_d2)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _sdf_from_state(cfg: FiestaConfig, state: MapState) -> jax.Array:
+    """Signed distance field from the current map state (C18)."""
+    from .ops.query import signed_distance_grid
+
+    occ = occupied_grid(cfg, state.logodds)
+    return signed_distance_grid(cfg, state.d2, state.seen, occ)
+
+
+def rebuild_tracks_closest(cfg: FiestaConfig) -> bool:
+    """Whether the rebuild tick maintains ``state.closest`` (reference
+    closest_obstacle_, ESDFMap.h:92-96): requires ``cfg.track_closest``
+    and the packed-argmin bit budget to fit this grid (edt.closest_plan)."""
+    from .ops.pallas.edt import closest_plan, trunc_vox_for
+
+    if not cfg.track_closest:
+        return False
+    t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    gshape = cfg.grid_shape
+    if t_fine < t_total and all(g % 2 == 0 for g in gshape):
+        coarse = tuple(g // 2 for g in gshape)
+        return (closest_plan(gshape, t_fine) is not None
+                and closest_plan(coarse, -(-t_total // 2)) is not None)
+    return closest_plan(gshape, t_total) is not None
+
+
+def rebuild_esdf(cfg: FiestaConfig, occupied: jax.Array):
+    """EDT rebuild returning (d2, closest-or-None).  With closest tracking
+    (the default, matching the reference's always-maintained
+    closest_obstacle_) the argmin rides the same packed min-plus passes;
+    see ops/pallas/edt.truncated_edt_d2_closest."""
+    from .ops.pallas.edt import (
+        hierarchical_edt_d2_closest,
+        trunc_vox_for,
+        truncated_edt_d2_closest,
+    )
+
+    if not rebuild_tracks_closest(cfg):
+        return rebuild_d2(cfg, occupied), None
+    t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    gshape = cfg.grid_shape
+    if t_fine < t_total and all(g % 2 == 0 for g in gshape):
+        return hierarchical_edt_d2_closest(occupied, t_fine, t_total)
+    return truncated_edt_d2_closest(occupied, t_total)
+
+
 @partial(jax.jit, static_argnames=("cfg", "use_window", "max_iters"),
          donate_argnames=("state",))
 def esdf_update(
@@ -136,8 +184,9 @@ def esdf_update(
         window_mask=wmask,
     )
     if cfg.esdf_mode == "rebuild":
-        d2 = rebuild_d2(cfg, fr.occupied)
-        closest = state.closest
+        d2, closest = rebuild_esdf(cfg, fr.occupied)
+        if closest is None:
+            closest = state.closest   # tracking unsupported: left stale
         sweeps = jnp.int32(0)
     else:
         d2, closest, sweeps = esdf.update_esdf(
@@ -431,6 +480,8 @@ class FiestaPipeline:
         self.new_msg = False
         self.esdf_cnt = 0
         self.image_cnt = 0
+        self._sdf_cache = None
+        self._sdf_src = None
 
     # -- ingestion ---------------------------------------------------------
 
@@ -595,6 +646,11 @@ class FiestaPipeline:
                 use_window=not self.cfg.global_update,
                 max_iters=max_iters,
             )
+        if self.cfg.signed_needed:
+            # maintain the signed field every tick (the reference's inverse
+            # map, Fiesta.h:216-218); async dispatch, no host sync
+            self._sdf_cache = _sdf_from_state(self.cfg, self.state)
+            self._sdf_src = self.state.d2
         return stats
 
     def sync_device(self) -> None:
@@ -622,5 +678,38 @@ class FiestaPipeline:
             self.cfg, self.distance_grid(), jnp.asarray(positions, jnp.float32)
         )
 
+    def query_closest_obstacle(self, positions):
+        """Nearest-obstacle world coordinates + distance per query position
+        (reads state.closest; see ops.query.get_closest_obstacle).  In
+        rebuild mode requires closest tracking (cfg.track_closest and a
+        grid the packed argmin fits — pipeline.rebuild_tracks_closest)."""
+        from .ops.query import get_closest_obstacle
+
+        return get_closest_obstacle(
+            self.cfg, self.state.closest, self.state.d2, self.state.seen,
+            jnp.asarray(positions, jnp.float32),
+        )
+
     def occupied(self) -> jax.Array:
         return occupied_grid(self.cfg, self.state.logodds)
+
+    def sdf_grid(self) -> jax.Array:
+        """Signed distance field [X,Y,Z] f32 (component C18): positive
+        clearance outside obstacles, negative penetration depth inside
+        (clamped at -trunc_dist), infinity where unobserved.
+
+        The reference's SIGNED_NEEDED variant feeds a second ESDF map with
+        inverted occupancy (Fiesta.h:39-41,216-218; left TODO there).  Here
+        the interior field is one extra truncated-EDT pass over the free
+        mask, derived from the tick's state — with ``cfg.signed_needed``
+        set, ``update()`` refreshes it every tick (the reference's
+        always-maintained inverse map); otherwise it is derived on demand.
+        Cached per ESDF tick either way.
+        """
+        if self._sdf_cache is not None and self._sdf_src is self.state.d2:
+            return self._sdf_cache
+        self._sdf_cache = _sdf_from_state(self.cfg, self.state)
+        # cache keyed on the d2 array IDENTITY: any state change (tick,
+        # recenter, restore) replaces the array and invalidates the cache
+        self._sdf_src = self.state.d2
+        return self._sdf_cache

@@ -54,6 +54,14 @@ class MPCConfig:
     # the <= half-voxel quantization is ~4% of the default margin and the
     # gradient refinement stage always uses the exact trilinear form).
     sample_query: str = "nearest"
+    # The grid passed to plan_step is a SIGNED distance field
+    # (pipeline.sdf_grid / query.signed_distance_grid, component C18):
+    # interior penetration is graded — deeper inside an obstacle costs
+    # more — instead of every in-obstacle sample reading the flat d=0
+    # penalty an unsigned grid gives.  Out-of-map queries then read
+    # -trunc_dist (deepest penetration) rather than the reference's -1
+    # sentinel, which a signed field cannot distinguish from 1 m depth.
+    signed: bool = False
 
 
 class PlanResult(NamedTuple):
@@ -82,12 +90,20 @@ def trajectory_cost(
     trilinear: bool = True,
 ):
     """Collision + goal + effort cost of one trajectory ([H,3] inputs)."""
+    out_value = -cfg.trunc_dist if mpc.signed else -1.0
     if trilinear:
-        d, _ = get_dist_grad_trilinear(cfg, dist_grid, positions)
+        d, _ = get_dist_grad_trilinear(cfg, dist_grid, positions,
+                                       out_value=out_value)
     else:
         d = get_distance(cfg, dist_grid, positions)
-    # out-of-map queries return negative sentinels: treat as fully colliding
-    d = jnp.where(d < 0, 0.0, d)
+    if mpc.signed:
+        # interior/out-of-map read as graded penetration depth, floored at
+        # the truncation (also maps get_distance's -10000 sentinel there)
+        d = jnp.maximum(d, -cfg.trunc_dist)
+    else:
+        # out-of-map queries return negative sentinels: treat as fully
+        # colliding
+        d = jnp.where(d < 0, 0.0, d)
     violation = jnp.maximum(mpc.margin - d, 0.0)
     collision = jnp.sum(violation**2)
 

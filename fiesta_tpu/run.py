@@ -98,6 +98,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "each step (BASELINE config 5)")
     p.add_argument("--fly-steps", type=int, default=60,
                    help="max control steps for --fly")
+    p.add_argument("--sdf", action="store_true",
+                   help="maintain a SIGNED distance field (component C18, "
+                        "the reference's SIGNED_NEEDED inverse map): the "
+                        "pipeline refreshes it every ESDF tick, --mpc/--fly "
+                        "plan against it (graded interior penetration "
+                        "cost), and --viz-dir gets an sdf_slice artifact")
     p.add_argument("--ground-truth-check", action="store_true",
                    help="print the accuracy oracle report (debug C20)")
     p.add_argument("--print-timing-every", type=int, default=0,
@@ -239,6 +245,8 @@ def main(argv=None) -> int:
         cfg = _apply_overrides(cfg, {k: _parse_value(v)}, source="--set")
     if args.esdf_mode:
         cfg = dataclasses.replace(cfg, esdf_mode=args.esdf_mode)
+    if args.sdf:
+        cfg = dataclasses.replace(cfg, signed_needed=True)
 
     if args.bag:
         frames, kind = None, None           # streamed, not materialized
@@ -541,6 +549,15 @@ def main(argv=None) -> int:
         np.savez_compressed(
             os.path.join(args.viz_dir, "occ_pc.npz"), points=pc
         )
+        if args.sdf and hasattr(pipe, "sdf_grid"):
+            # raw signed values (meters) at the slice level: consumers can
+            # colormap penetration depth vs clearance directly
+            sdf = np.asarray(pipe.sdf_grid())
+            zi = viz.slice_index(cfg)
+            np.savez_compressed(
+                os.path.join(args.viz_dir, "sdf_slice.npz"),
+                sdf=sdf[:, :, zi], z_index=zi,
+            )
         try:
             import matplotlib
 
@@ -566,14 +583,17 @@ def main(argv=None) -> int:
 
         from .planning import mpc as mpc_mod
 
-        mpc_cfg = mpc_mod.MPCConfig()
+        if args.sdf and args.devices:
+            raise SystemExit("--sdf planning is single-device (the sharded "
+                             "planner caches the unsigned grid)")
+        mpc_cfg = mpc_mod.MPCConfig(signed=args.sdf)
         lo = np.asarray(cfg.origin)
         center = lo + np.asarray(cfg.map_size) / 2
         p0 = jnp.asarray(center + [0.0, -1.0, 0.0], jnp.float32)
         goal = jnp.asarray(center + [0.0, 1.0, 0.0], jnp.float32)
         # the sharded plan() derives (and caches) its own replicated grid;
         # materialize `dist` only where this process consumes it directly
-        dist = (pipe.distance_grid()
+        dist = ((pipe.sdf_grid() if args.sdf else pipe.distance_grid())
                 if (not args.devices or args.fly) else None)
 
     if args.mpc:

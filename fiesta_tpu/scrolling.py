@@ -309,10 +309,13 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         self.restore_count += 1
         occ = occupied_grid(cfg, self.state.logodds)
         if cfg.esdf_mode == "rebuild":
-            from .pipeline import rebuild_d2_jit
+            from .pipeline import rebuild_esdf
 
+            d2, closest = jax.jit(
+                rebuild_esdf, static_argnames=("cfg",))(cfg, occ)
             self.state = dataclasses.replace(
-                self.state, d2=rebuild_d2_jit(cfg, occ)
+                self.state, d2=d2,
+                closest=self.state.closest if closest is None else closest,
             )
         else:
             # seed every occupied voxel whose distance is not already zero

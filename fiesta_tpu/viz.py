@@ -114,15 +114,20 @@ def slice_image(
     return img
 
 
+def slice_index(cfg, slice_z: Optional[float] = None) -> int:
+    """Z voxel index of the visualization slice (cfg.slice_vis_level)."""
+    z_m = cfg.slice_vis_level if slice_z is None else slice_z
+    return int(np.clip(int(np.floor(z_m / cfg.resolution)), 0,
+                       cfg.grid_shape[2] - 1))
+
+
 def _slice_fields(cfg, state, slice_z, max_dist):
     """(z, max_dist, dist[X,Y], known[X,Y]) for one z-slice.  The slice is
     taken from d2/seen BEFORE the metric conversion and host transfer — a
     full-grid distance_grid here would compute and copy the whole volume
     per visualized frame for one plane's worth of data."""
-    z_m = cfg.slice_vis_level if slice_z is None else slice_z
     md = cfg.slice_vis_max_dist if max_dist is None else max_dist
-    z = int(np.clip(int(np.floor(z_m / cfg.resolution)), 0,
-                    cfg.grid_shape[2] - 1))
+    z = slice_index(cfg, slice_z)
     d2 = np.asarray(state.d2[:, :, z])
     seen = np.asarray(state.seen[:, :, z])
     from .grid import INF_D2

@@ -87,3 +87,98 @@ def test_truncated_edt_degenerate_zero_radius():
     mask = np.ones((8, 8, 8), bool)
     mask[2, 3, 4] = False
     assert (d2[mask] == int(INF_D2)).all()
+
+
+# ---------------------------------------------------------------------------
+# Closest-obstacle tracking (packed argmin; reference ESDFMap.h:92-96)
+# ---------------------------------------------------------------------------
+
+
+def _check_closest(occ, t, d2, closest):
+    """closest must name an occupied voxel at exactly sqrt(d2) wherever d2
+    is finite, and be UNDEFINED (-1) elsewhere."""
+    d2 = np.asarray(d2).astype(np.int64)
+    closest = np.asarray(closest).astype(np.int64)
+    defined = d2 < int(INF_D2)
+    assert np.array_equal(closest[0] >= 0, defined)
+    if defined.any():
+        cx, cy, cz = (c[defined] for c in closest)
+        assert occ[cx, cy, cz].all(), "closest names a non-occupied voxel"
+        vx, vy, vz = np.nonzero(defined)
+        want = (vx - cx) ** 2 + (vy - cy) ** 2 + (vz - cz) ** 2
+        np.testing.assert_array_equal(d2[defined], want)
+
+
+@pytest.mark.parametrize("seed,p,t", [(0, 0.01, 8), (1, 0.05, 6),
+                                      (2, 0.002, 12), (3, 0.3, 5)])
+def test_edt_closest_matches_oracle(seed, p, t):
+    shape = (40, 32, 24)
+    rng = np.random.default_rng(seed)
+    occ = rng.random(shape) < p
+    d2, closest = edt.truncated_edt_d2_closest(jnp.asarray(occ), t)
+
+    # d2 identical to the d2-only transform
+    np.testing.assert_array_equal(
+        np.asarray(d2), np.asarray(edt.truncated_edt_d2(jnp.asarray(occ), t)))
+    _check_closest(occ, t, d2, closest)
+
+
+def test_edt_closest_empty_grid():
+    occ = np.zeros((16, 16, 8), bool)
+    d2, closest = edt.truncated_edt_d2_closest(jnp.asarray(occ), 5)
+    assert np.all(np.asarray(d2) == int(INF_D2))
+    assert np.all(np.asarray(closest) == -1)
+
+
+def test_edt_closest_single_obstacle():
+    occ = np.zeros((20, 16, 12), bool)
+    occ[10, 8, 6] = True
+    d2, closest = edt.truncated_edt_d2_closest(jnp.asarray(occ), 7)
+    d2 = np.asarray(d2)
+    closest = np.asarray(closest)
+    assert d2[10, 8, 6] == 0
+    assert tuple(closest[:, 10, 8, 6]) == (10, 8, 6)
+    # every defined voxel points at the only obstacle
+    defined = d2 < int(INF_D2)
+    for ax, want in zip(range(3), (10, 8, 6)):
+        assert np.all(closest[ax][defined] == want)
+
+
+def test_closest_plan_bit_budget():
+    # cow_and_lady scale fits exactly (15 + 9 + 7 = 31)
+    assert edt.closest_plan((400, 400, 80), 100) is not None
+    # two 512 axes + t=100 does not (15 + 9 + 9 = 33)
+    assert edt.closest_plan((512, 512, 512), 100) is None
+    assert edt.closest_plan((40, 32, 24), 0) is None
+
+
+def test_hierarchical_edt_closest():
+    shape = (40, 32, 24)
+    rng = np.random.default_rng(7)
+    occ = rng.random(shape) < 0.01
+    t_fine, t_total = 5, 12
+    d2, closest = edt.hierarchical_edt_d2_closest(
+        jnp.asarray(occ), t_fine, t_total)
+    d2 = np.asarray(d2)
+    closest = np.asarray(closest)
+    np.testing.assert_array_equal(
+        d2, np.asarray(edt.hierarchical_edt_d2(jnp.asarray(occ), t_fine,
+                                               t_total)))
+    # fine field: exact closest contract
+    fine_d2 = np.asarray(edt.truncated_edt_d2(jnp.asarray(occ), t_fine))
+    fine = fine_d2 < int(INF_D2)
+    if fine.any():
+        cx, cy, cz = (c[fine] for c in closest)
+        assert occ[cx, cy, cz].all()
+        vx, vy, vz = np.nonzero(fine)
+        want = (vx - cx) ** 2 + (vy - cy) ** 2 + (vz - cz) ** 2
+        np.testing.assert_array_equal(d2[fine], want)
+    # far field: closest lands within the winning 2x2x2 coarse block
+    far = (d2 < int(INF_D2)) & ~fine
+    if far.any():
+        cx, cy, cz = (c[far] for c in closest)
+        occ_any = occ[..., ::1]
+        block_occ = (occ.reshape(20, 2, 16, 2, 12, 2).any(axis=(1, 3, 5)))
+        assert block_occ[cx // 2, cy // 2, cz // 2].all()
+    # definedness matches d2 everywhere
+    assert np.array_equal(closest[0] >= 0, d2 < int(INF_D2))

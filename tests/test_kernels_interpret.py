@@ -78,3 +78,49 @@ def test_binary_pass_kernel_matches_xla():
         mask = ref <= t * t
         assert jnp.array_equal(ref[mask], got[mask])
         assert bool(jnp.all(got[~mask] == _INF_EDT))
+
+
+def test_closest_packed_kernels_match_xla():
+    """The three packed argmin-tracking passes (binary doubling, paired
+    window, split-sign final) produce identical packed words in interpret
+    mode and via the XLA fallback."""
+    from fiesta_tpu.ops.pallas import edt
+
+    rng = np.random.default_rng(5)
+    shape = (40, 32, 24)
+    occ = rng.random(shape) < 0.03
+    t = 9
+    plan = edt.closest_plan(shape, t)
+    assert plan is not None
+
+    a_ax, b_ax, c_ax = plan["a"], plan["b"], plan["c"]
+    occ_t = jnp.asarray(occ.transpose(a_ax, b_ax, c_ax).astype(np.uint8))
+
+    p1_k = edt._binary_packed_pallas(occ_t, plan, interpret=True)
+    p1_x = edt._binary_packed_xla(occ_t, plan)
+    np.testing.assert_array_equal(np.asarray(p1_k), np.asarray(p1_x))
+
+    p2_k = edt._window_packed_pallas(p1_x.transpose(1, 0, 2), plan,
+                                     interpret=True)
+    p2_x = edt._window_packed_xla(p1_x.transpose(1, 0, 2), plan)
+    np.testing.assert_array_equal(np.asarray(p2_k), np.asarray(p2_x))
+
+    v_k, pay_k = edt._split_packed_pallas(p2_x.transpose(2, 1, 0), plan,
+                                          interpret=True)
+    v_x, pay_x = edt._split_packed_xla(p2_x.transpose(2, 1, 0), plan)
+    np.testing.assert_array_equal(np.asarray(v_k), np.asarray(v_x))
+    np.testing.assert_array_equal(np.asarray(pay_k), np.asarray(pay_x))
+
+
+def test_closest_full_transform_interpret():
+    """End-to-end d2+closest via the Pallas kernels (interpret) matches the
+    XLA-fallback transform bit-exactly."""
+    from fiesta_tpu.ops.pallas import edt
+
+    rng = np.random.default_rng(11)
+    occ = jnp.asarray(rng.random((32, 28, 16)) < 0.02)
+    t = 7
+    d2_k, cl_k = edt.truncated_edt_d2_closest(occ, t, interpret=True)
+    d2_x, cl_x = edt.truncated_edt_d2_closest(occ, t)
+    np.testing.assert_array_equal(np.asarray(d2_k), np.asarray(d2_x))
+    np.testing.assert_array_equal(np.asarray(cl_k), np.asarray(cl_x))

@@ -258,3 +258,60 @@ def test_fused_depth_tick_and_stream():
                                   np.asarray(st_stream.d2))
     assert int(stream_stats.num_observed[1]) == int(stats1.num_observed)
     assert int(np.asarray(st_stream.seen).sum()) > 0
+
+
+def test_rebuild_mode_maintains_closest():
+    """The production rebuild tick populates state.closest (reference
+    closest_obstacle_, ESDFMap.h:92-96) and the C20 structural invariants
+    hold — closest names an occupied voxel at exactly sqrt(d2)."""
+    import dataclasses
+
+    from fiesta_tpu import debug
+    from fiesta_tpu.pipeline import rebuild_tracks_closest
+
+    cfg = dataclasses.replace(SMALL, esdf_mode="rebuild", trunc_dist=2.0,
+                              edt_fine_dist=2.0)
+    assert rebuild_tracks_closest(cfg)
+    _, pipe = _run_replay("scanline", cfg=cfg)
+    closest = np.asarray(pipe.state.closest)
+    d2 = np.asarray(pipe.state.d2)
+    assert (closest[0] >= 0).any(), "no closest recorded after replay"
+    assert debug.check_consistency(cfg, pipe.state)
+
+    # closest-point query API: query from voxel centers that are mapped
+    # (seen, defined closest) so the answers must be defined
+    from fiesta_tpu.grid import vox_to_pos
+
+    seen = np.asarray(pipe.state.seen)
+    cand = seen & (closest[0] >= 0)
+    assert cand.any()
+    vs = np.argwhere(cand)[[0, -1]]
+    q = np.asarray(vox_to_pos(cfg, vs), np.float32)
+    pts, dist = pipe.query_closest_obstacle(q)
+    pts, dist = np.asarray(pts), np.asarray(dist)
+    assert pts.shape == (2, 3) and dist.shape == (2,)
+    # where defined, the returned point must be an occupied voxel center
+    from fiesta_tpu.grid import pos_to_vox, occupied_grid
+
+    occ = np.asarray(occupied_grid(cfg, pipe.state.logodds))
+    any_defined = False
+    for i in range(2):
+        if dist[i] < cfg.infinity_distance:
+            any_defined = True
+            v = np.asarray(pos_to_vox(cfg, pts[i]))
+            assert occ[v[0], v[1], v[2]]
+            # returned distance equals |query voxel center - obstacle|
+            # quantized to the grid: consistent with query_distance
+            qd = float(np.asarray(pipe.query_distance(q[i:i + 1]))[0])
+            assert abs(dist[i] - qd) < 1e-5
+    assert any_defined, "no defined closest-obstacle query in a mapped scene"
+
+
+def test_rebuild_closest_off_flag():
+    """track_closest=False restores the round-1 behavior (closest stale)."""
+    import dataclasses
+
+    from fiesta_tpu.pipeline import rebuild_tracks_closest
+
+    cfg = dataclasses.replace(SMALL, track_closest=False)
+    assert not rebuild_tracks_closest(cfg)
