@@ -21,10 +21,10 @@ format 2.0 spec (http://wiki.ros.org/Bags/Format/2.0) and the ROS message
 serialization rules (little-endian fields, u32-length-prefixed strings and
 arrays).  Unknown message types are skipped (or surfaced raw on request).
 
-Supported chunk compressions: ``none`` and ``bz2`` (stdlib).  ``lz4`` bags
-use roslz4's custom framing, which is not available here — rewrite with
-``rosbag compress --bz2`` (or ``decompress``) first; the reader raises a
-clear error.
+Supported chunk compressions: ``none``, ``bz2`` (stdlib), and ``lz4``
+(roslz4's standard LZ4-frame chunks, decoded by the pure-Python codec in
+``io/lz4f.py``) — any bag ``rosbag record``/``compress`` produces replays
+directly.
 """
 
 from __future__ import annotations
@@ -411,9 +411,15 @@ def _decompress_chunk(header: Dict[str, bytes], data: bytes) -> bytes:
         return data
     if comp == "bz2":
         return bz2.decompress(data)
+    if comp == "lz4":
+        # roslz4 wraps chunks in the standard LZ4 frame format; decoded by
+        # the pure-Python codec (io/lz4f.py) — no ROS needed
+        from . import lz4f
+
+        return lz4f.decompress_frame(data)
     raise ValueError(
-        f"chunk compression {comp!r} not supported without ROS — run "
-        "`rosbag decompress` (or compress --bz2) on the bag first")
+        f"chunk compression {comp!r} not supported "
+        "(expected none, bz2, or lz4)")
 
 
 @dataclasses.dataclass
@@ -774,8 +780,8 @@ def write_bag(
     """Write ``(receive_time, topic, msg)`` tuples to a format-2.0 bag with
     chunks, per-chunk index records, and a trailing index section (connection
     + chunk-info records) so standard ROS tools accept it unindexed."""
-    if compression not in ("none", "bz2"):
-        raise ValueError("compression must be 'none' or 'bz2'")
+    if compression not in ("none", "bz2", "lz4"):
+        raise ValueError("compression must be 'none', 'bz2', or 'lz4'")
 
     conn_ids: Dict[Tuple[str, str], int] = {}
     conn_records: List[bytes] = []
@@ -818,7 +824,14 @@ def write_bag(
             if not buf:
                 return
             raw = bytes(buf)
-            payload = bz2.compress(raw) if compression == "bz2" else raw
+            if compression == "bz2":
+                payload = bz2.compress(raw)
+            elif compression == "lz4":
+                from . import lz4f
+
+                payload = lz4f.compress_frame(raw)
+            else:
+                payload = raw
             chunk_pos = f.tell()
             f.write(_ser_record(
                 {"op": bytes([OP_CHUNK]),

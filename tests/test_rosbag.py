@@ -97,7 +97,7 @@ def test_reader_rejects_bad_magic(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_roundtrip_all_types(tmp_path, compression):
     rng = np.random.default_rng(0)
     cloud = rng.normal(size=(50, 3)).astype(np.float32)
@@ -211,14 +211,16 @@ def test_pick_topics():
         rosbag.pick_topics({"/a": "std_msgs/String"})
 
 
-def test_lz4_chunk_is_a_clear_error(tmp_path):
+def test_corrupt_lz4_chunk_is_a_clear_error(tmp_path):
+    """An lz4-tagged chunk whose payload is not a valid LZ4 frame fails
+    loudly (bad magic), not with garbage messages."""
     path = str(tmp_path / "lz4.bag")
-    inner = b""
+    inner = b"\x00\x01\x02\x03not a frame"
     chunk = _record(_field(b"op", b"\x05") + _field(b"compression", b"lz4")
                     + _field(b"size", struct.pack("<I", 0)), inner)
     with open(path, "wb") as f:
         f.write(rosbag.MAGIC + chunk)
-    with pytest.raises(ValueError, match="lz4"):
+    with pytest.raises(ValueError, match="magic"):
         list(rosbag.read_messages(path))
 
 
