@@ -1,0 +1,142 @@
+"""plan_step vs the independent CPU ESDF-gradient planner (parity oracle).
+
+Fills BASELINE.md's "control sequence vs reference ESDF-gradient planner
+within tolerance at same horizon" row: planning/reference_planner.py is a
+from-scratch NumPy/float64/finite-difference realization of the same
+optimal-control problem (no JAX, no shared code), compared here at three
+levels — gradients, control sequences, and solution cost.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fiesta_tpu import FiestaConfig
+from fiesta_tpu.ops.pallas.edt import trunc_vox_for, truncated_edt_d2
+from fiesta_tpu.ops.query import distance_grid
+from fiesta_tpu.planning import mpc as mpc_mod
+from fiesta_tpu.planning import reference_planner as ref
+
+
+CFG = FiestaConfig(
+    resolution=0.1,
+    origin=(-3.0, -3.0, -3.0),
+    map_size=(6.0, 6.0, 6.0),
+    min_ray_length=0.3,
+    max_ray_length=6.0,
+    trunc_dist=2.0,
+    edt_fine_dist=2.0,
+)
+
+
+def _scene(seed=0, n_boxes=6):
+    rng = np.random.default_rng(seed)
+    occ = np.zeros(CFG.grid_shape, bool)
+    for _ in range(n_boxes):
+        c = rng.integers(5, 55, 3)
+        s = rng.integers(2, 6, 3)
+        occ[c[0]:c[0] + s[0], c[1]:c[1] + s[1], c[2]:c[2] + s[2]] = True
+    d2 = truncated_edt_d2(jnp.asarray(occ),
+                          trunc_vox_for(CFG.resolution, CFG.trunc_dist))
+    dist = distance_grid(CFG, d2, jnp.ones(CFG.grid_shape, bool))
+    return np.asarray(dist), occ
+
+
+def test_gradient_parity():
+    """jax.grad of the production cost matches the independent
+    finite-difference gradient of the numpy cost."""
+    dist_np, _ = _scene(0)
+    dist = jnp.asarray(dist_np, jnp.float32)
+    mpc_cfg = mpc_mod.MPCConfig(horizon=12)
+    p0 = np.asarray([0.3, -0.2, 0.1])
+    v0 = np.zeros(3)
+    goal = np.asarray([2.0, 1.5, 0.5])
+    rng = np.random.default_rng(1)
+
+    def jax_grad(ctrl):
+        def f(c):
+            pos = mpc_mod.rollout_positions(mpc_cfg, jnp.asarray(p0, jnp.float32),
+                                            jnp.asarray(v0, jnp.float32), c)
+            return mpc_mod.trajectory_cost(CFG, mpc_cfg, dist, pos, c,
+                                           jnp.asarray(goal, jnp.float32))
+        return np.asarray(jax.grad(f)(jnp.asarray(ctrl, jnp.float32)),
+                          np.float64)
+
+    worst = 0.0
+    for _ in range(4):
+        ctrl = rng.uniform(-1.5, 1.5, (12, 3))
+        gj = jax_grad(ctrl)
+        gf = ref.fd_gradient(CFG, mpc_cfg, dist_np, p0, v0, ctrl, goal)
+        rel = np.linalg.norm(gj - gf) / max(np.linalg.norm(gf), 1e-9)
+        worst = max(worst, rel)
+    assert worst < 2e-2, f"gradient mismatch: rel L2 {worst:.4f}"
+
+
+def test_control_sequence_parity_same_schedule():
+    """With MPPI noise collapsed (sigma→0), plan_step reduces to Adam
+    refinement from the nominal — the independent planner run with the
+    same schedule must produce the same control sequence within
+    tolerance (f32 autodiff vs f64 finite differences)."""
+    dist_np, _ = _scene(2)
+    dist = jnp.asarray(dist_np, jnp.float32)
+    h, steps = 10, 6
+    mpc_cfg = mpc_mod.MPCConfig(horizon=h, n_rollouts=4, sigma=1e-6,
+                                refine_steps=steps)
+    p0 = np.asarray([0.2, 0.1, -0.3])
+    goal = np.asarray([1.8, -1.2, 0.4])
+    nominal = np.zeros((h, 3))
+
+    res = mpc_mod.plan_step(
+        CFG, mpc_cfg, dist, jnp.asarray(p0, jnp.float32), jnp.zeros(3),
+        jnp.asarray(goal, jnp.float32), jnp.asarray(nominal, jnp.float32),
+        jax.random.PRNGKey(0))
+    ours = np.asarray(res.controls, np.float64)
+
+    theirs, _ = ref.plan(CFG, mpc_cfg, dist_np, p0, np.zeros(3), goal,
+                         nominal, steps=steps)
+    err = np.abs(ours - theirs).max()
+    assert err < 0.05, f"control sequences diverged: max |du| = {err:.4f}"
+
+
+def test_solution_quality_cluttered():
+    """Full plan_step (MPPI + refine) scores at least as well as the
+    independent gradient planner on ITS OWN cost, in a cluttered scene at
+    the same horizon."""
+    dist_np, occ = _scene(3, n_boxes=10)
+    dist = jnp.asarray(dist_np, jnp.float32)
+    h = 16
+    mpc_cfg = mpc_mod.MPCConfig(horizon=h, n_rollouts=512, refine_steps=8)
+    p0 = np.asarray([-1.5, -1.5, 0.0])
+    goal = np.asarray([1.8, 1.8, 0.3])
+    nominal = np.zeros((h, 3))
+
+    res = mpc_mod.plan_step(
+        CFG, mpc_cfg, dist, jnp.asarray(p0, jnp.float32), jnp.zeros(3),
+        jnp.asarray(goal, jnp.float32), jnp.asarray(nominal, jnp.float32),
+        jax.random.PRNGKey(1))
+    ours_cost = ref.cost(CFG, mpc_cfg, dist_np, p0, np.zeros(3),
+                         np.asarray(res.controls, np.float64), goal)
+
+    _, their_cost = ref.plan(CFG, mpc_cfg, dist_np, p0, np.zeros(3), goal,
+                             nominal, steps=40)
+    assert ours_cost <= their_cost * 1.05 + 1e-6, (
+        f"plan_step cost {ours_cost:.3f} worse than independent planner "
+        f"{their_cost:.3f}")
+
+
+def test_numpy_trilinear_matches_production_query():
+    """The oracle's own trilinear lookup agrees with ops.query's (both
+    realize ESDFMap.cpp:481-540)."""
+    from fiesta_tpu.ops.query import get_dist_grad_trilinear
+
+    dist_np, _ = _scene(4)
+    dist = jnp.asarray(dist_np, jnp.float32)
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(-2.8, 2.8, (200, 3))
+    d_jax, _ = get_dist_grad_trilinear(CFG, dist, jnp.asarray(pos, jnp.float32))
+    d_np = ref.trilinear_distance(CFG, dist_np, pos)
+    np.testing.assert_allclose(np.asarray(d_jax, np.float64), d_np,
+                               rtol=1e-4, atol=1e-3)
