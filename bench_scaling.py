@@ -1,0 +1,248 @@
+"""Multi-chip scaling: MEASURED, not modeled (VERDICT round-2 item 5).
+
+Two artifacts, both produced on the 8-device virtual CPU mesh (the only
+multi-device substrate in this environment — one real chip is attached):
+
+  1. **Relative wall-clock scaling** of the sharded production tick
+     (parallel.sharding.sharded_fused_tick) and the rollout-sharded MPC
+     solve at n = 1, 2, 4, 8 devices.  CPU absolute numbers are
+     meaningless for TPU; the quantity reported is strong-scaling
+     efficiency t(1) / (n * t(n)) on a fixed total problem.  Virtual
+     devices are host threads, so this measures the *parallel structure*
+     (does the program decompose without serialization or replicated
+     compute blowup), not ICI.
+
+  2. **HLO collective-byte audit**: the compiled sharded tick's optimized
+     HLO is scanned for collective ops (collective-permute / all-gather /
+     all-reduce); per-tick communication bytes are summed from the op
+     shapes and compared against PERF.md's analytic model (T boundary
+     planes of int32 per direction for the EDT halos + scalar stats).
+
+Prints one JSON line with the efficiency curve and measured collective
+bytes.  Run: ``python bench_scaling.py`` (forces the CPU backend itself).
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+                "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+                "f64": 8}
+
+
+def collective_bytes(hlo_text: str):
+    """Sum output bytes of collective ops in optimized HLO, by op kind."""
+    out = {}
+    # e.g.:  %collective-permute.1 = s32[100,400,80] collective-permute(...)
+    pat = re.compile(
+        r"=\s*(?:\(([^)]*)\)|(\S+))\s*"
+        r"(collective-permute|all-gather|all-reduce|reduce-scatter|"
+        r"all-to-all)\b")
+    for m in pat.finditer(hlo_text):
+        shapes = m.group(1) if m.group(1) else m.group(2)
+        kind = m.group(3)
+        total = 0
+        # findall, not split-on-comma: dims contain commas themselves
+        for dt_s, dims in re.findall(r"([a-z0-9]+)\[([0-9,]*)\]", shapes):
+            dt = _DTYPE_BYTES.get(dt_s, 4)
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += dt * n
+        out[kind] = out.get(kind, 0) + total
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import dataclasses
+
+    from fiesta_tpu import FiestaConfig
+    from fiesta_tpu.grid import make_state
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.parallel import sharding
+    from fiesta_tpu.planning import mpc as mpc_mod
+
+    assert len(jax.devices()) >= 8, jax.devices()
+
+    # Mesh-scale problem, small enough for CPU wall clocks: 1/5-scale cow
+    # (levels of the real thing would take minutes per tick on CPU).
+    h, w = 60, 80
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(
+            FiestaConfig(
+                resolution=0.1,
+                origin=(-6.4, -4.0, -1.2),
+                map_size=(12.8, 8.0, 2.4),   # 128 x 80 x 24 voxels
+                min_ray_length=0.2,
+                max_ray_length=2.5,
+                trunc_dist=2.0,
+                edt_fine_dist=2.0,
+                esdf_mode="rebuild",
+                global_update=True,
+            ), h, w),
+        max_points_per_scan=h * w,
+    )
+    _, frames = replay.make_sequence(
+        cfg, n_frames=6, n_boxes=6, seed=0, height=h, width=w,
+        orbit_radius=1.5, period=6.0)
+    pts = np.stack([f[2] for f in frames[:3]]).astype(np.float32)
+    vals = np.isfinite(pts).all(-1)
+    from fiesta_tpu.ops.depth import pose_to_matrix
+    tfs = np.stack([np.asarray(pose_to_matrix(*frames[i][1]))
+                    for i in range(3)]).astype(np.float32)
+
+    def bench_tick(n):
+        mesh = sharding.make_mesh(n)
+        step = sharding.sharded_fused_tick(cfg, mesh)
+        state = sharding.shard_state(make_state(cfg), mesh)
+        args = (jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(tfs),
+                jnp.zeros(3, jnp.float32))
+        state, _ = step(state, *args)          # compile + settle
+        jax.block_until_ready(state.d2)
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, _ = step(state, *args)
+        jax.block_until_ready(state.d2)
+        dt = (time.perf_counter() - t0) / reps
+        return dt, step, state, args
+
+    def bench_mpc(n):
+        mesh = sharding.make_mesh(n)
+        mpc_cfg = mpc_mod.MPCConfig(n_rollouts=2048, horizon=20,
+                                    refine_steps=4)
+        planner = mpc_mod.make_sharded_planner(cfg, mpc_cfg, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dist = jax.device_put(
+            jnp.full(cfg.grid_shape, 10.0, jnp.float32),
+            NamedSharding(mesh, P()))
+        a = (dist, jnp.zeros(3), jnp.zeros(3),
+             jnp.asarray([2.0, 1.0, 0.2], jnp.float32),
+             jnp.zeros((20, 3)), jax.random.PRNGKey(0))
+        res = planner(*a)
+        jax.block_until_ready(res.controls)
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = planner(*a)
+        jax.block_until_ready(res.controls)
+        return (time.perf_counter() - t0) / reps
+
+    tick_t, mpc_t, weak_t = {}, {}, {}
+    hlo_audit = {}
+    for n in (1, 2, 4, 8):
+        dt, step, state, args = bench_tick(n)
+        tick_t[n] = dt
+        log(f"n={n}: sharded tick {dt*1e3:.1f} ms")
+        if n == 8:
+            txt = step.lower(state, *args).compile().as_text()
+            hlo_audit = collective_bytes(txt)
+            log(f"HLO collective bytes per tick (n=8): {hlo_audit}")
+    for n in (1, 2, 4, 8):
+        mpc_t[n] = bench_mpc(n)
+        log(f"n={n}: sharded MPC solve {mpc_t[n]*1e3:.1f} ms")
+
+    # --- weak scaling: the map-VOLUME axis (SURVEY.md section 5) ----------
+    # Fixed per-device volume, world grows with the mesh: gx = 64 * n.
+    # This is the scale axis the reference bounds with its hash-block map;
+    # the carve is sensor-local (constant work), so the design should hold
+    # efficiency here even though the strong-scaling Amdahl term does not.
+    from fiesta_tpu.grid import make_state as mk_state
+
+    def bench_weak(n):
+        wcfg = dataclasses.replace(
+            cfg, map_size=(6.4 * n, cfg.map_size[1], cfg.map_size[2]),
+            origin=(-3.2 * n, cfg.origin[1], cfg.origin[2]))
+        mesh = sharding.make_mesh(n)
+        step = sharding.sharded_fused_tick(wcfg, mesh)
+        state = sharding.shard_state(mk_state(wcfg), mesh)
+        args = (jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(tfs),
+                jnp.zeros(3, jnp.float32))
+        state, _ = step(state, *args)
+        jax.block_until_ready(state.d2)
+        reps = 6
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, _ = step(state, *args)
+        jax.block_until_ready(state.d2)
+        return (time.perf_counter() - t0) / reps
+
+    for n in (1, 2, 4, 8):
+        weak_t[n] = bench_weak(n)
+        log(f"n={n}: weak-scaled tick ({64*n}x{cfg.grid_shape[1]}x"
+            f"{cfg.grid_shape[2]}) {weak_t[n]*1e3:.1f} ms")
+
+    # On a SHARED-CORE virtual mesh, n virtual devices timeshare the same
+    # physical cores, so wall-clock tracks TOTAL work across the mesh:
+    # wall(n)/wall(1) measures work INFLATION from sharding (replicated
+    # compute + halo redundancy + collective overhead); 1.0 = perfect
+    # decomposition.  On real chips each device runs in parallel, so
+    # per-chip wall ~ t(1)*inflation(n)/n and strong-scaling efficiency
+    # ~ 1/inflation(n) (plus ICI, audited separately below).
+    def inflation(ts):
+        return {str(n): round(ts[n] / ts[1], 3) for n in (2, 4, 8)}
+
+    def pred_eff(ts):
+        return {str(n): round(ts[1] / ts[n], 3) for n in (2, 4, 8)}
+
+    # analytic model for comparison: EDT halos = 2 sides * T planes *
+    # Y*Z * 4 B per shard, exchanged via ppermute by all n shards
+    # (total bytes moved per tick across the mesh)
+    t_vox = int(np.ceil(cfg.trunc_dist / cfg.resolution))
+    gy, gz = cfg.grid_shape[1], cfg.grid_shape[2]
+    model_halo = 8 * 2 * t_vox * gy * gz * 4
+    # the HLO is SPMD: every listed collective executes on each of the 8
+    # devices, so mesh-total traffic = per-device op bytes * 8
+    audit_total = {k: v * 8 for k, v in hlo_audit.items()}
+    out = {
+        "metric": "virtual_mesh_scaling",
+        "tick_ms": {str(n): round(tick_t[n] * 1e3, 2) for n in tick_t},
+        "tick_work_inflation": inflation(tick_t),
+        "tick_predicted_efficiency": pred_eff(tick_t),
+        "mpc_ms": {str(n): round(mpc_t[n] * 1e3, 2) for n in mpc_t},
+        "mpc_work_inflation": inflation(mpc_t),
+        "mpc_predicted_efficiency": pred_eff(mpc_t),
+        # weak scaling (fixed per-device volume): total work grows ~n, so
+        # on shared cores ideal wall(n) = n*wall(1); efficiency =
+        # n*wall(1)/wall(n)
+        "weak_tick_ms": {str(n): round(weak_t[n] * 1e3, 2)
+                         for n in weak_t},
+        "weak_predicted_efficiency": {
+            str(n): round(n * weak_t[1] / weak_t[n], 3) for n in (2, 4, 8)},
+        "hlo_collective_bytes_per_device_n8": hlo_audit,
+        "hlo_collective_bytes_mesh_total_n8": audit_total,
+        "model_edt_halo_bytes_n8": model_halo,
+        "note": ("shared-core virtual mesh: wall(n)/wall(1) = total-work "
+                 "inflation; real-chip efficiency ~ 1/inflation + ICI "
+                 "(audited via HLO bytes)"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -300,11 +300,18 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     carve + occupancy fusion + truncated-EDT rebuild in ONE device program.
 
     Layout (SURVEY.md section 5 "distributed communication backend"):
-      * grid arrays are X-slab sharded; scans are replicated;
-      * the carve-box contributions are computed redundantly on every
-        device (the box is sensor-local and small — a few ms of work —
-        and replicating it avoids any carve-time communication); each
-        device applies only the part intersecting its slab;
+      * grid arrays are X-slab sharded;
+      * the SCAN axis of the carve is physically sharded too: scans are
+        padded to a multiple of the mesh size and each device splats +
+        sweeps only its own scans (the multi-chip form of the reference's
+        ray-thread parallelism, Fiesta.h:290-301), then the per-scan box
+        counter contributions are all-gathered (sensor-local boxes — a
+        few MB each — so traffic is world-size independent) and every
+        device applies the slab-intersecting parts.  Round 1 replicated
+        this stage on every device; measured on the virtual mesh that
+        inflated total work ~4.6x at n=8 (bench_scaling.py), capping
+        strong-scaling efficiency at ~0.22 — sharding the scan axis
+        removes the replicated splat+sweep work;
       * fusion is elementwise-local;
       * the EDT rebuild along x uses multi-hop ``ppermute`` halos of T
         planes per side (ICI traffic independent of world size);
@@ -352,15 +359,21 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
 
     def local_fn(logodds, seen, hit_cnt, miss_cnt, d2, closest,
                  points, valids, transforms):
+        # points/valids/transforms arrive SCAN-SHARDED: [K_pad/n, P, 3]
+        # locally (padding scans are all-invalid => zero contributions)
         x0 = jax.lax.axis_index("x").astype(jnp.int32) * lx
 
-        # replicated carve (box-local work), slab-local application
         pw = jnp.einsum("kpj,kij->kpi", points, transforms[:, :3, :3]) \
             + transforms[:, None, :3, 3]
         starts, hit32, miss32, n_rays, n_ep = raycast.scanline_batch_boxes(
             cfg, pw, valids, transforms[:, :3, 3], None
         )
-        for i in range(points.shape[0]):
+        # every slab needs every scan's box: gather the per-scan
+        # contributions (u8 boxes; world-size-independent traffic)
+        starts = jax.lax.all_gather(starts, "x", tiled=True)
+        hit32 = jax.lax.all_gather(hit32, "x", tiled=True)
+        miss32 = jax.lax.all_gather(miss32, "x", tiled=True)
+        for i in range(starts.shape[0]):
             hit_cnt = apply_box_local(hit_cnt, hit32[i], starts[i], x0)
             miss_cnt = apply_box_local(miss_cnt, miss32[i], starts[i], x0)
 
@@ -380,10 +393,11 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
 
     s3 = P("x", None, None)
     s4 = P(None, "x", None, None)
+    sk = P("x", None, None)   # scan-sharded [K_pad, P, 3]
     sm = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(s3, s3, s3, s3, s3, s4, P(), P(), P()),
+        in_specs=(s3, s3, s3, s3, s3, s4, sk, P("x", None), sk),
         out_specs=(s3, s3, s3, s3, s3, s4,
                    UpdateStats(P(), P(), P(), P())),
         check_vma=False,  # pallas_call inside shard_map has no vma info
@@ -392,6 +406,20 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     @partial(jax.jit, donate_argnames=("state",))
     def step(state: MapState, points, valids, transforms, cur_pos):
         del cur_pos  # window mode is not sharded; global updates only
+        k = points.shape[0]
+        k_pad = -k % n
+        if k_pad:
+            # padding scans are all-invalid: they run (fixed shapes) but
+            # contribute nothing
+            points = jnp.concatenate(
+                [points, jnp.zeros((k_pad,) + points.shape[1:],
+                                   points.dtype)])
+            valids = jnp.concatenate(
+                [valids, jnp.zeros((k_pad,) + valids.shape[1:], bool)])
+            transforms = jnp.concatenate(
+                [transforms,
+                 jnp.broadcast_to(jnp.eye(4, dtype=transforms.dtype),
+                                  (k_pad, 4, 4))])
         lo, seen, hit, miss, d2, closest, stats = sm(
             state.logodds, state.seen, state.hit_cnt, state.miss_cnt,
             state.d2, state.closest, points, valids, transforms,
