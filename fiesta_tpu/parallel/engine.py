@@ -17,9 +17,10 @@ Differences from the single-device engine (all forced by SPMD mechanics):
     groups of ``scans_per_tick`` (static shapes; short groups are padded
     with all-invalid scans, which contribute nothing);
   * cloud input only (the depth-image consistency filter chains frames,
-    which the replicated-carve layout does not thread through ticks);
-  * rebuild mode with a single-level EDT (the sharded tick's contract;
-    the exact-EDT default config satisfies it).
+    which the scan-sharded carve does not thread through ticks);
+  * rebuild mode (the queue-semantics incremental engine is the
+    single-device validation oracle).  Window mode, the hierarchical
+    EDT, and closest tracking all shard (sharding.sharded_fused_tick).
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ import numpy as np
 
 from ..config import FiestaConfig
 from ..pipeline import FiestaPipeline, UpdateStats
+from ..scrolling import ScrollingMixin
 from ..timing import Timer
 from . import sharding
 
@@ -43,9 +45,6 @@ class ShardedFiestaPipeline(FiestaPipeline):
                  mesh: Optional[object] = None,
                  n_devices: Optional[int] = None,
                  scans_per_tick: int = 3):
-        if not cfg.global_update:
-            raise ValueError("the sharded tick supports global updates "
-                             "only (window mode is single-device)")
         super().__init__(cfg, method="scanline")
         self.mesh = mesh if mesh is not None else sharding.make_mesh(
             n_devices or len(jax.devices()))
@@ -173,3 +172,65 @@ class ShardedFiestaPipeline(FiestaPipeline):
         base, sub = jax.random.split(base)
         self._plan_key = base
         return sub
+
+
+class ShardedScrollingFiestaPipeline(ScrollingMixin, ShardedFiestaPipeline):
+    """Unbounded persistent world on a multi-chip mesh: the scrolling-grid
+    + tile-archive machinery (scrolling.ScrollingMixin — recenter in fixed
+    steps, evict strips to the host tile directory, restore on revisit)
+    over the sharded production tick.
+
+    Multi-chip specifics: the counter drain before an eviction is the
+    sharded tick with an empty scan batch; distance re-derivation after a
+    restore is the sharded rebuild (halo ppermutes, closest tracking when
+    supported); recenters defer while scans are buffered for the next
+    tick (their transforms were built in the current virtual frame); and
+    state shardings are re-pinned after host-side strip writes.
+    """
+
+    def __init__(self, cfg: FiestaConfig,
+                 mesh: Optional[object] = None,
+                 n_devices: Optional[int] = None,
+                 scans_per_tick: int = 3,
+                 recenter_fraction: float = 0.25,
+                 archive=None):
+        super().__init__(cfg, mesh=mesh, n_devices=n_devices,
+                         scans_per_tick=scans_per_tick)
+        self._rebuild = sharding.sharded_rebuild_esdf(cfg, self.mesh)
+        self._init_scrolling(recenter_fraction, archive)
+
+    # -- sharded specializations of the scrolling hooks ---------------------
+
+    def _drain_counters(self) -> None:
+        p = self.cfg.max_points_per_scan
+        k = self.scans_per_tick
+        self.state, _ = self._tick(
+            self.state,
+            jnp.zeros((k, p, 3), jnp.float32),
+            jnp.zeros((k, p), bool),
+            jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (k, 4, 4)),
+            jnp.asarray(self.cur_pos, jnp.float32),
+        )
+
+    def _rederive_distances(self) -> None:
+        import dataclasses
+
+        from ..grid import occupied_grid
+
+        self.restore_count += 1
+        occ = occupied_grid(self.cfg, self.state.logodds)
+        d2, closest = self._rebuild(occ)
+        self.state = dataclasses.replace(
+            self.state, d2=d2,
+            closest=self.state.closest if closest is None else closest,
+        )
+
+    def _reshard_state(self) -> None:
+        self.state = sharding.shard_state(self.state, self.mesh)
+
+    def maybe_recenter(self, robot_pos) -> bool:
+        if self._pending:
+            # scans buffered for the next tick carry transforms built in
+            # the CURRENT virtual frame; recenter only between ticks
+            return False
+        return super().maybe_recenter(robot_pos)

@@ -295,6 +295,227 @@ def _local_truncated_edt(cfg: FiestaConfig, n: int, trunc_vox: int):
     return local_fn
 
 
+def sharded_closest_supported(cfg: FiestaConfig) -> bool:
+    """Whether the sharded rebuild can track closest-obstacle coords: the
+    packed-argmin bit budget must fit (edt.closest_plan on the GLOBAL
+    shape) and the split-sign pass must land on the sharded X axis
+    (plan axis c == 0), so the A/B payload passes stay shard-local."""
+    from ..ops.pallas.edt import closest_plan, trunc_vox_for
+
+    if not cfg.track_closest:
+        return False
+    t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    gshape = cfg.grid_shape
+
+    def ok(shape, t):
+        plan = closest_plan(shape, t)
+        return plan is not None and plan["c"] == 0
+
+    if t_fine < t_total and all(g % 2 == 0 for g in gshape):
+        coarse = tuple(g // 2 for g in gshape)
+        return ok(gshape, t_fine) and ok(coarse, -(-t_total // 2))
+    return ok(gshape, t_total)
+
+
+def _local_edt_closest(shape, n: int, trunc_vox: int, coord_scale: int = 1):
+    """Shard-local truncated EDT WITH closest tracking over an X-sharded
+    grid of GLOBAL ``shape``.
+
+    Same packed-argmin pipeline as edt.truncated_edt_d2_closest (which
+    see): passes A/B carry absolute coordinates in the payload and are
+    shard-local (the plan's split axis C must be the sharded X axis —
+    gate with ``sharded_closest_supported``); the final split-sign pass
+    runs on a T-plane halo-extended block, and its X coordinate is
+    recovered arithmetically with the GLOBAL x iota.  Bit-exact vs the
+    single-device transform (same plan, same tie-breaks, halos read the
+    same capped-far fill the single-device pads do).
+
+    ``coord_scale`` multiplies the produced closest coords (2 for the
+    hierarchical coarse level).  Returns local_fn(occupied_local, x0) ->
+    (d2_local, closest_local [3,lx,Y,Z] int16).
+    """
+    from ..grid import UNDEFINED_COORD
+    from ..ops.pallas.edt import _closest_passes, closest_plan
+
+    plan = closest_plan(shape, trunc_vox)
+    assert plan is not None and plan["c"] == 0
+    t, ba, bb, s = plan["t"], plan["ba"], plan["bb"], plan["s"]
+    a_ax, b_ax = plan["a"], plan["b"]
+    cap_fill = np.int32(plan["cap"] << s)
+
+    def local_fn(occupied, x0):
+        from ..ops.pallas.edt import (
+            _binary_packed_pallas,
+            _binary_packed_xla,
+            _split_packed_pallas,
+            _split_packed_xla,
+            _window_packed_pallas,
+            _window_packed_xla,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        # local layout [lx, Y, Z]; A/B are the unsharded axes
+        occ_t = occupied.transpose(a_ax, b_ax, 0).astype(jnp.uint8)
+        if on_tpu:
+            p1 = _binary_packed_pallas(occ_t, plan)
+            p2 = _window_packed_pallas(p1.transpose(1, 0, 2), plan)
+        else:
+            p1 = _binary_packed_xla(occ_t, plan)
+            p2 = _window_packed_xla(p1.transpose(1, 0, 2), plan)
+        p3in = p2.transpose(2, 1, 0)              # [lx, A, B]
+        ext = _halo_planes_x(p3in, t, n, "x", cap_fill)
+        if on_tpu:
+            val, pay = _split_packed_pallas(ext, plan)
+        else:
+            val, pay = _split_packed_xla(ext, plan)
+        val = val[t:-t]                           # crop the halo rows
+        pay = pay[t:-t]
+
+        # epilogue with GLOBAL x coordinates (layout [lx, A, B])
+        sign = (pay >> s) & 1
+        bstar = (pay >> ba) & ((1 << bb) - 1)
+        astar = pay & ((1 << ba) - 1)
+        lshape = val.shape
+        ia = jax.lax.broadcasted_iota(jnp.int32, lshape, 1)
+        ib = jax.lax.broadcasted_iota(jnp.int32, lshape, 2)
+        ic = jax.lax.broadcasted_iota(jnp.int32, lshape, 0) + x0
+        dc2 = val - (ia - astar) ** 2 - (ib - bstar) ** 2
+        dc = jnp.round(jnp.sqrt(jnp.maximum(dc2, 0).astype(jnp.float32))
+                       ).astype(jnp.int32)
+        cstar = jnp.where(sign > 0, ic + dc, ic - dc)
+
+        valid = val <= t * t
+        d2 = jnp.where(valid, val, INF_D2)
+        undef = jnp.int16(UNDEFINED_COORD)
+        coords = [None, None, None]
+        coords[a_ax] = astar
+        coords[b_ax] = bstar
+        coords[0] = cstar
+        sc = jnp.int16(coord_scale)
+        closest = jnp.stack(
+            [jnp.where(valid, c.astype(jnp.int16) * sc, undef)
+             for c in coords])
+        # back to natural local [lx, Y, Z] ordering
+        inv = tuple(int(i) for i in np.argsort((0, a_ax, b_ax)))
+        d2 = d2.transpose(inv)
+        closest = closest.transpose((0,) + tuple(i + 1 for i in inv))
+        return d2, closest
+
+    return local_fn
+
+
+def _local_rebuild_esdf(cfg: FiestaConfig, n: int):
+    """Shard-local production distance derivation, mirroring
+    pipeline.rebuild_esdf feature for feature: single-level or
+    hierarchical EDT, with closest tracking when supported.
+
+    Returns local_fn(occupied_local, x0) -> (d2_local, closest_or_None).
+    """
+    from ..grid import UNDEFINED_COORD
+    from ..ops.pallas.edt import trunc_vox_for
+
+    t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    gshape = cfg.grid_shape
+    hier = t_fine < t_total and all(g % 2 == 0 for g in gshape)
+    track = sharded_closest_supported(cfg)
+    lx = gshape[0] // n
+
+    if not hier:
+        plain = _local_truncated_edt(cfg, n, t_total)
+        if not track:
+            return lambda occ, x0: (plain(occ), None)
+        withc = _local_edt_closest(gshape, n, t_total)
+        return lambda occ, x0: withc(occ, x0)
+
+    # hierarchical: exact fine field + half-resolution far field
+    assert lx % 2 == 0, (
+        f"hierarchical sharded EDT needs an even per-device slab "
+        f"(lx={lx}); use a mesh size where (X/n) is even")
+    coarse_shape = tuple(g // 2 for g in gshape)
+    t_coarse = -(-t_total // 2)
+
+    def downsample_local(occ):
+        a, b, c = occ.shape
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas.edt import _downsample2_any
+
+            return _downsample2_any(occ)
+        return occ.reshape(a // 2, 2, b // 2, 2, c // 2, 2).any(
+            axis=(1, 3, 5))
+
+    if track:
+        fine_fn = _local_edt_closest(gshape, n, t_fine)
+        coarse_fn = _local_edt_closest(coarse_shape, n, t_coarse,
+                                       coord_scale=2)
+
+        def local_fn(occ, x0):
+            fine_d2, fine_cl = fine_fn(occ, x0)
+            d2c, clc = coarse_fn(downsample_local(occ), x0 // 2)
+            d2c = jnp.where(d2c >= INF_D2, INF_D2, d2c * 4)
+            up = jnp.repeat(jnp.repeat(jnp.repeat(d2c, 2, 0), 2, 1), 2, 2)
+            clc = jnp.where(clc < 0, jnp.int16(UNDEFINED_COORD), clc)
+            cl_up = jnp.repeat(
+                jnp.repeat(jnp.repeat(clc, 2, 1), 2, 2), 2, 3)
+            use_fine = fine_d2 < INF_D2
+            return (jnp.where(use_fine, fine_d2, up),
+                    jnp.where(use_fine[None], fine_cl, cl_up))
+
+        return local_fn
+
+    from ..ops.pallas.edt import _INF_EDT, _minplus_pass, binary_pass
+
+    def edt_level(occ, t, n_):
+        f = jnp.where(occ, 0, _INF_EDT).astype(jnp.int32)
+        fx = _halo_planes_x(f, t, n_, "x", _INF_EDT)
+        p1 = binary_pass(fx, t)[t:-t]
+        p2 = _minplus_pass(p1.transpose(1, 0, 2), t)
+        p3 = _minplus_pass(p2.transpose(2, 1, 0), t)
+        d2 = p3.transpose(1, 2, 0)
+        return jnp.where(d2 <= t * t, d2, INF_D2)
+
+    def local_fn(occ, x0):
+        fine = edt_level(occ, t_fine, n)
+        d2c = edt_level(downsample_local(occ), t_coarse, n)
+        d2c = jnp.where(d2c >= INF_D2, INF_D2, d2c * 4)
+        up = jnp.repeat(jnp.repeat(jnp.repeat(d2c, 2, 0), 2, 1), 2, 2)
+        return jnp.where(fine < INF_D2, fine, up), None
+
+    return local_fn
+
+
+def sharded_rebuild_esdf(cfg: FiestaConfig, mesh: Mesh):
+    """Jitted sharded distance re-derivation: occupied [X,Y,Z] (sharded)
+    -> (d2, closest-or-None), mirroring pipeline.rebuild_esdf.  Used by
+    archive restores / scroll recenters on the mesh."""
+    n = mesh.devices.size
+    gx = cfg.grid_shape[0]
+    assert gx % n == 0, f"grid X={gx} must divide by mesh size {n}"
+    lx = gx // n
+    local = _local_rebuild_esdf(cfg, n)
+    track = sharded_closest_supported(cfg)
+
+    def local_fn(occupied):
+        x0 = jax.lax.axis_index("x").astype(jnp.int32) * lx
+        d2, closest = local(occupied, x0)
+        return (d2, closest) if track else (d2,)
+
+    s3 = P("x", None, None)
+    outs = (s3, P(None, "x", None, None)) if track else (s3,)
+    sm = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=s3, out_specs=outs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def rebuild(occupied):
+        r = sm(occupied)
+        return (r[0], r[1]) if track else (r[0], None)
+
+    return rebuild
+
+
 def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     """Full production mapping tick over an X-sharded grid: batched scan
     carve + occupancy fusion + truncated-EDT rebuild in ONE device program.
@@ -317,13 +538,16 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         planes per side (ICI traffic independent of world size);
       * the only global reductions are the three scalar stats ``psum``s.
 
-    Uses the single-level truncated EDT at ``cfg.trunc_dist`` (matches the
-    single-device path whenever ``edt_fine_dist >= trunc_dist``).
+    Feature parity with the single-device tick: exact or hierarchical EDT
+    (``edt_fine_dist``), local-window updates (``global_update=False``,
+    reference C17), and closest-obstacle tracking (gated by
+    ``sharded_closest_supported`` — the split-sign argmin pass must land
+    on the sharded axis; its payload passes are then shard-local and only
+    the packed planes ride the existing halos).
     Returns a jitted fn (state, points [K,P,3] sensor-frame, valids,
     transforms [K,4,4], cur_pos) -> (state, UpdateStats).
     """
     from ..ops import fusion, raycast
-    from ..ops.pallas.edt import trunc_vox_for
     from ..pipeline import UpdateStats
 
     n = mesh.devices.size
@@ -332,14 +556,8 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     assert cfg.esdf_mode == "rebuild", (
         "sharded_fused_tick implements the rebuild path; use "
         "sharded_esdf_update for queue-semantics incremental mode")
-    assert cfg.global_update, (
-        "window mode is not sharded (global updates only)")
-    assert cfg.edt_fine_dist >= cfg.trunc_dist, (
-        "the sharded tick runs a single-level EDT at trunc_dist; set "
-        "edt_fine_dist >= trunc_dist so it matches the single-device path")
     lx = gx // n
-    t = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
-    edt_local = _local_truncated_edt(cfg, n, t)
+    rebuild_local = _local_rebuild_esdf(cfg, n)
     bx, by, bz = raycast._carve_box_shape(cfg)
 
     def apply_box_local(cnt_local, boxc, start, x0):
@@ -358,15 +576,32 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         return padded[bx:bx + lx]
 
     def local_fn(logodds, seen, hit_cnt, miss_cnt, d2, closest,
-                 points, valids, transforms):
+                 points, valids, transforms, cur_pos):
         # points/valids/transforms arrive SCAN-SHARDED: [K_pad/n, P, 3]
         # locally (padding scans are all-invalid => zero contributions)
         x0 = jax.lax.axis_index("x").astype(jnp.int32) * lx
 
+        if cfg.global_update:
+            win = None
+            wmask = None
+        else:
+            # local-window mode (C17): the window gates which counters
+            # and fused voxels change, exactly as the single-device tick
+            from ..grid import local_window
+
+            win = local_window(cfg, cur_pos)
+            wmin, wmax = win
+            xs = x0 + jnp.arange(lx, dtype=jnp.int32)
+            ys = jnp.arange(cfg.grid_shape[1], dtype=jnp.int32)
+            zs = jnp.arange(cfg.grid_shape[2], dtype=jnp.int32)
+            wmask = ((xs >= wmin[0]) & (xs <= wmax[0]))[:, None, None] \
+                & ((ys >= wmin[1]) & (ys <= wmax[1]))[None, :, None] \
+                & ((zs >= wmin[2]) & (zs <= wmax[2]))[None, None, :]
+
         pw = jnp.einsum("kpj,kij->kpi", points, transforms[:, :3, :3]) \
             + transforms[:, None, :3, 3]
         starts, hit32, miss32, n_rays, n_ep = raycast.scanline_batch_boxes(
-            cfg, pw, valids, transforms[:, :3, 3], None
+            cfg, pw, valids, transforms[:, :3, 3], win
         )
         # every slab needs every scan's box: gather the per-scan
         # contributions (u8 boxes; world-size-independent traffic)
@@ -377,8 +612,11 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
             hit_cnt = apply_box_local(hit_cnt, hit32[i], starts[i], x0)
             miss_cnt = apply_box_local(miss_cnt, miss32[i], starts[i], x0)
 
-        fr = fusion.fuse_counts(cfg, logodds, seen, hit_cnt, miss_cnt)
-        d2 = edt_local(fr.occupied)
+        fr = fusion.fuse_counts(cfg, logodds, seen, hit_cnt, miss_cnt,
+                                window_mask=wmask)
+        d2, new_closest = rebuild_local(fr.occupied, x0)
+        if new_closest is not None:
+            closest = new_closest
 
         stats = UpdateStats(
             num_observed=jax.lax.psum(fr.num_observed, "x"),
@@ -397,7 +635,7 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     sm = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(s3, s3, s3, s3, s3, s4, sk, P("x", None), sk),
+        in_specs=(s3, s3, s3, s3, s3, s4, sk, P("x", None), sk, P()),
         out_specs=(s3, s3, s3, s3, s3, s4,
                    UpdateStats(P(), P(), P(), P())),
         check_vma=False,  # pallas_call inside shard_map has no vma info
@@ -405,7 +643,6 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
 
     @partial(jax.jit, donate_argnames=("state",))
     def step(state: MapState, points, valids, transforms, cur_pos):
-        del cur_pos  # window mode is not sharded; global updates only
         k = points.shape[0]
         k_pad = -k % n
         if k_pad:
@@ -423,6 +660,7 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         lo, seen, hit, miss, d2, closest, stats = sm(
             state.logodds, state.seen, state.hit_cnt, state.miss_cnt,
             state.d2, state.closest, points, valids, transforms,
+            jnp.asarray(cur_pos, jnp.float32),
         )
         return MapState(logodds=lo, d2=d2, closest=closest, seen=seen,
                         hit_cnt=hit, miss_cnt=miss), stats

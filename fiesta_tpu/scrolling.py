@@ -78,26 +78,22 @@ def scroll_state(state: MapState, shift: jax.Array) -> MapState:
                     hit_cnt=hit_cnt, miss_cnt=miss_cnt)
 
 
-class ScrollingFiestaPipeline(FiestaPipeline):
-    """FiestaPipeline over an unbounded world.
+class ScrollingMixin:
+    """The scrolling-grid / persistent-archive machinery, engine-agnostic.
 
-    The dense grid covers a moving box; ``origin_vox`` tracks its world
-    anchor in voxels.  Sensor inputs are shifted into the virtual frame, so
-    every op (carve, fusion, EDT, queries) runs unchanged.
+    Mixed into an engine class (single-device ``FiestaPipeline`` or the
+    multi-chip ``parallel.engine.ShardedFiestaPipeline``) ahead of it in
+    the MRO.  The engine provides ``state``/``cfg``/``process``/queries;
+    two hooks let engines specialize the device work:
 
-    With ``archive`` set (a ``TileArchive`` instance, or ``True`` for a
-    default one) the explored world is PERSISTENT, like the reference's
-    hash-block map (``#ifdef HASH_TABLE``, src/ESDFMap.cpp:128-167):
-    recenters archive the evicted strips to the host tile directory and
-    restore previously-explored content in the entered strips, then
-    re-derive distances.  Recentering then moves in FIXED grid/4 steps so
-    every strip transfer reuses one compiled program per axis/direction;
-    host<->device traffic happens only at recenter events.
+      * ``_drain_counters()`` — flush pending hit/miss counters through
+        one fusion+EDT tick (single-device: ``pipeline.esdf_update``;
+        sharded: the sharded tick with an empty scan batch);
+      * ``_reshard_state()`` — re-pin state array shardings after host
+        restores mutate them (no-op on one device).
     """
 
-    def __init__(self, cfg: FiestaConfig, method: str = "scanline",
-                 recenter_fraction: float = 0.25, archive=None):
-        super().__init__(cfg, method=method)
+    def _init_scrolling(self, recenter_fraction: float, archive) -> None:
         self.origin_vox = np.zeros(3, np.int64)
         # recenter when the robot leaves the central box of this fraction
         self.recenter_fraction = recenter_fraction
@@ -110,6 +106,17 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         self.restore_count = 0
         if archive is not None and archive.num_tiles:
             self._hydrate_from_archive()
+
+    def _drain_counters(self) -> None:
+        from .pipeline import esdf_update
+
+        self.state, _ = esdf_update(
+            self.cfg, self.state, jnp.asarray(self.cur_pos, jnp.float32),
+            use_window=not self.cfg.global_update,
+        )
+
+    def _reshard_state(self) -> None:
+        pass
 
     # -- frame bookkeeping -------------------------------------------------
 
@@ -137,6 +144,7 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         lims = np.asarray(cfg.grid_shape, np.int64) - 1
         shift_vox = np.clip(shift_vox, -lims, lims)
         self._apply_scroll(shift_vox)
+        self._reshard_state()
         return True
 
     def _apply_scroll(self, shift_vox: np.ndarray) -> None:
@@ -156,6 +164,10 @@ class ScrollingFiestaPipeline(FiestaPipeline):
             t[:3, 3] -= shift_vox * self.cfg.resolution
             self.last_transform = t
         self.scroll_count += 1
+        # engines that cache a derived planning grid must drop it: the map
+        # content just moved frames (harmless where no cache exists)
+        self._dist_cache = None
+        self._sdf_cache = None
 
     # -- persistent-world plumbing (reference C3: HASH_TABLE block map) ----
 
@@ -178,6 +190,7 @@ class ScrollingFiestaPipeline(FiestaPipeline):
             seen=jnp.asarray(seen_np),
         )
         self._rederive_distances()
+        self._reshard_state()
 
     def _recenter_persistent(self, robot_pos) -> bool:
         """Recenter in FIXED steps of grid/4 per axis.
@@ -214,12 +227,7 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         # the counter grids and be lost, while the reference's
         # never-evicting block map retains them (an early fusion tick is
         # semantically fine — the reference drains on every timer tick)
-        from .pipeline import esdf_update
-
-        self.state, _ = esdf_update(
-            cfg, self.state, jnp.asarray(self.cur_pos, jnp.float32),
-            use_window=not cfg.global_update,
-        )
+        self._drain_counters()
         restored = False
         scrolled = False
         for _ in range(64):
@@ -236,6 +244,8 @@ class ScrollingFiestaPipeline(FiestaPipeline):
             scrolled = True
         if restored:
             self._rederive_distances()
+        if scrolled:
+            self._reshard_state()
         return scrolled
 
     def _axis_strip(self, shift_vox, axis: int, entering: bool):
@@ -366,3 +376,29 @@ class ScrollingFiestaPipeline(FiestaPipeline):
         pts = occupied_pointcloud(self.cfg, self.state,
                                   vis_lower_bound=-1e9, vis_upper_bound=1e9)
         return pts + self._offset_m()
+
+
+class ScrollingFiestaPipeline(ScrollingMixin, FiestaPipeline):
+    """FiestaPipeline over an unbounded world.
+
+    The dense grid covers a moving box; ``origin_vox`` tracks its world
+    anchor in voxels.  Sensor inputs are shifted into the virtual frame, so
+    every op (carve, fusion, EDT, queries) runs unchanged.
+
+    With ``archive`` set (a ``TileArchive`` instance, or ``True`` for a
+    default one) the explored world is PERSISTENT, like the reference's
+    hash-block map (``#ifdef HASH_TABLE``, src/ESDFMap.cpp:128-167):
+    recenters archive the evicted strips to the host tile directory and
+    restore previously-explored content in the entered strips, then
+    re-derive distances.  Recentering then moves in FIXED grid/4 steps so
+    every strip transfer reuses one compiled program per axis/direction;
+    host<->device traffic happens only at recenter events.
+
+    The multi-chip twin is ``parallel.engine.ShardedScrollingFiestaPipeline``
+    (same machinery over the sharded tick).
+    """
+
+    def __init__(self, cfg: FiestaConfig, method: str = "scanline",
+                 recenter_fraction: float = 0.25, archive=None):
+        super().__init__(cfg, method=method)
+        self._init_scrolling(recenter_fraction, archive)

@@ -410,3 +410,168 @@ def test_cli_devices_flag_runs_sharded_engine():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "sharded engine: 4-device" in out.stderr
     assert "processed 6 frames" in out.stderr
+
+
+def _tick_cfg(**over):
+    import dataclasses
+
+    base = FiestaConfig(
+        resolution=0.1,
+        origin=(-3.2, -2.0, -1.2),
+        map_size=(6.4, 4.0, 2.4),        # grid 64x40x24; lx = 8 on 8 dev
+        min_ray_length=0.2,
+        max_ray_length=1.5,
+        trunc_dist=1.2,
+        edt_fine_dist=1.2,
+        esdf_mode="rebuild",
+        global_update=True,
+    )
+    return dataclasses.replace(base, **over)
+
+
+def _tick_scene(seed=7, k=2, p=300):
+    rng = np.random.default_rng(seed)
+    origins = rng.uniform(-1.0, 1.0, (k, 3)).astype(np.float32)
+    origins[:, 2] *= 0.3
+    pts = (origins[:, None, :]
+           + rng.uniform(-2.0, 2.0, (k, p, 3))).astype(np.float32)
+    tfs = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))
+    tfs[:, :3, 3] = origins
+    return (jnp.asarray(pts - origins[:, None, :]),
+            jnp.asarray(rng.uniform(size=(k, p)) < 0.9),
+            jnp.asarray(tfs), jnp.asarray(origins[-1]))
+
+
+def _compare_tick(cfg, use_window, n_ticks=2, compare_closest=True):
+    from fiesta_tpu.grid import make_state
+    from fiesta_tpu.pipeline import fused_batch_step
+
+    pts, valids, tfs, cur = _tick_scene()
+    ref_state = make_state(cfg)
+    for _ in range(n_ticks):
+        ref_state, _ = fused_batch_step(
+            cfg, ref_state, pts, valids, tfs, cur,
+            use_window=use_window, method="scanline")
+
+    mesh = sharding.make_mesh(8)
+    step = sharding.sharded_fused_tick(cfg, mesh)
+    state = sharding.shard_state(make_state(cfg), mesh)
+    for _ in range(n_ticks):
+        state, _ = step(state, pts, valids, tfs, cur)
+
+    np.testing.assert_array_equal(np.asarray(state.logodds),
+                                  np.asarray(ref_state.logodds))
+    np.testing.assert_array_equal(np.asarray(state.d2),
+                                  np.asarray(ref_state.d2))
+    if compare_closest:
+        np.testing.assert_array_equal(np.asarray(state.closest),
+                                      np.asarray(ref_state.closest))
+        assert (np.asarray(state.closest)[0] >= 0).any()
+    return state, ref_state
+
+
+def test_sharded_closest_matches_single_device():
+    """The sharded rebuild tracks closest-obstacle coords bit-exactly vs
+    the single-device packed-argmin transform (split-sign pass rides the
+    X halos; payload passes are shard-local)."""
+    cfg = _tick_cfg()
+    assert sharding.sharded_closest_supported(cfg)
+    _compare_tick(cfg, use_window=False)
+
+
+def test_sharded_window_tick_matches_single_device():
+    """Local-window mode (C17) on the mesh: the window gates counters and
+    fusion exactly as the single-device tick."""
+    cfg = _tick_cfg(global_update=False, radius=(1.0, 1.0, 0.6))
+    sharded, ref = _compare_tick(cfg, use_window=True)
+    # the window actually bit somewhere: some voxels stayed unseen
+    assert not np.asarray(ref.seen).all()
+
+
+def test_sharded_hierarchical_tick_matches_single_device():
+    """Hierarchical EDT (fine exact + half-res far field) on the mesh,
+    including coarse-level closest coords."""
+    cfg = _tick_cfg(trunc_dist=1.6, edt_fine_dist=0.8)
+    assert sharding.sharded_closest_supported(cfg)
+    _compare_tick(cfg, use_window=False)
+
+
+def test_sharded_scrolling_archive_matches_single_device():
+    """The persistent unbounded world on the mesh
+    (ShardedScrollingFiestaPipeline): recenter + archive eviction +
+    revisit restore reproduce the single-device scrolling pipeline
+    bit-exactly when updates align (same frames, same tick grouping)."""
+    import dataclasses
+
+    from fiesta_tpu.archive import TileArchive
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.parallel.engine import ShardedScrollingFiestaPipeline
+    from fiesta_tpu.scrolling import ScrollingFiestaPipeline
+
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(
+            FiestaConfig(
+                resolution=0.1,
+                origin=(-3.2, -2.0, -1.2),
+                map_size=(6.4, 4.0, 2.4),   # grid 64x40x24; lx=8 on 8 dev
+                min_ray_length=0.2,
+                max_ray_length=2.2,
+                trunc_dist=1.2,
+                edt_fine_dist=1.2,
+                esdf_mode="rebuild",
+                global_update=True,
+            ), 60, 80),
+        max_points_per_scan=60 * 80,
+    )
+    # two full orbits, wide enough that SEEN content scrolls out (archive
+    # eviction) and is revisited (restore): grid half-extent 3.2 m,
+    # recenter at 0.25 * half = 0.8 m off-center, sensor range 2.2 m keeps
+    # the scene visible from the orbit
+    # period 1.0 s at 30 Hz: 24 frames sweep ~0.8 orbits, so early-mapped
+    # content scrolls out of the window (eviction) and comes back (restore)
+    _, frames = replay.make_sequence(
+        cfg, n_frames=24, n_boxes=8, seed=6, height=60, width=80,
+        orbit_radius=1.8, orbit_z=0.2, period=1.0)
+
+    def drive(pipe):
+        # tick every frame: recenter checks then happen at identical
+        # points on both engines (the sharded engine defers recenters
+        # while scans are buffered, so per-frame ticks are the aligned
+        # cadence)
+        for i, (t, (pos, quat), scan) in enumerate(frames):
+            pipe.observe_pose(t, pos, quat)
+            pipe.observe_cloud(t, scan)
+            if i + 1 < len(frames):
+                pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+            else:
+                pipe.observe_pose(t + 1.0, pos, quat)
+            pipe.process()
+            pipe.update()
+        return pipe
+
+    mesh = sharding.make_mesh(8)
+    sp = drive(ShardedScrollingFiestaPipeline(
+        cfg, mesh=mesh, scans_per_tick=1, archive=TileArchive()))
+    ref = drive(ScrollingFiestaPipeline(
+        cfg, method="scanline", archive=TileArchive()))
+
+    # non-degenerate: the orbit actually forced recenters + archive traffic
+    assert sp.scroll_count > 0
+    assert sp.scroll_count == ref.scroll_count
+    assert np.array_equal(sp.origin_vox, ref.origin_vox)
+    assert sp.archive.num_tiles == ref.archive.num_tiles > 0
+
+    np.testing.assert_array_equal(np.asarray(sp.state.logodds),
+                                  np.asarray(ref.state.logodds))
+    np.testing.assert_array_equal(np.asarray(sp.state.seen),
+                                  np.asarray(ref.state.seen))
+    np.testing.assert_array_equal(np.asarray(sp.state.d2),
+                                  np.asarray(ref.state.d2))
+    np.testing.assert_array_equal(np.asarray(sp.state.closest),
+                                  np.asarray(ref.state.closest))
+
+    # world-frame queries agree through the virtual-frame shift
+    q = np.asarray([[0.5, 0.5, 0.2], [-0.5, 1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(sp.query_distance(q)),
+                               np.asarray(ref.query_distance(q)),
+                               atol=1e-6)
