@@ -313,7 +313,10 @@ def closest_plan(shape, trunc_vox: int):
     c_axis = int(np.argmax(bits))      # widest axis pays no payload bits
     a_axis, b_axis = [i for i in range(3) if i != c_axis]
     ba, bb = bits[a_axis], bits[b_axis]
-    vbits = int(2 * t * t + 1).bit_length()   # max mid-pass value
+    # two budgets: mid-pass candidates (val up to 2t^2+1 over the payload)
+    # and the final pass's single packed output (clamped val | sign | pay)
+    vbits = max(int(2 * t * t + 1).bit_length(),
+                int(cap).bit_length() + 1)
     if vbits + ba + bb > 31:
         return None
     return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
@@ -379,11 +382,14 @@ def _window_packed_xla(p1: jax.Array, plan) -> jax.Array:
     return (v2 << s) | (acc & ((1 << s) - 1))
 
 
-def _split_packed_xla(p2: jax.Array, plan):
+def _split_packed_xla(p2: jax.Array, plan) -> jax.Array:
     """Split-sign final pass along the LEADING axis (XLA fallback).
 
-    Returns (val [C,M,L] i32, pay i32 = sign<<s | b*<<ba | a*): sign=1 means
-    the winning obstacle sits at HIGHER c than the voxel."""
+    Returns ONE packed i32 [C,M,L]: val<<(s+1) | sign<<s | b*<<ba | a*,
+    with val clamped to ``cap`` (values past truncation are invalid
+    anyway) so the word fits 31 bits — one output array instead of two
+    halves the pass's HBM writes.  sign=1 means the winning obstacle sits
+    at HIGHER c than the voxel."""
     c = p2.shape[0]
     t = min(plan["t"], c - 1)
     s, cap = plan["s"], plan["cap"]
@@ -396,10 +402,10 @@ def _split_packed_xla(p2: jax.Array, plan):
         acc_p = jnp.minimum(acc_p, _shift_lead(p2, k, fill) + kk)
     vn, vp = acc_n >> s, acc_p >> s
     use_p = vp < vn
-    val = jnp.minimum(vn, vp)
+    val = jnp.minimum(jnp.minimum(vn, vp), np.int32(cap))
     mask_s = (1 << s) - 1
-    pay = jnp.where(use_p, (acc_p & mask_s) | (1 << s), acc_n & mask_s)
-    return val, pay
+    pay = jnp.where(use_p, acc_p & mask_s, acc_n & mask_s)
+    return (val << (s + 1)) | (use_p.astype(jnp.int32) << s) | pay
 
 
 def _binary_packed_pallas(occ: jax.Array, plan,
@@ -532,9 +538,11 @@ def _window_packed_pallas(p1: jax.Array, plan,
     return out[:, :r].reshape(b, m, l)
 
 
-def _split_packed_pallas(p2: jax.Array, plan, interpret: bool = False):
+def _split_packed_pallas(p2: jax.Array, plan,
+                         interpret: bool = False) -> jax.Array:
     """Pallas twin of ``_split_packed_xla``: two half-window accumulators
-    (4 VPU ops per offset vs the paired pass's 3), combined in-kernel."""
+    (4 VPU ops per offset vs the paired pass's 3), combined in-kernel to
+    ONE packed output word (val<<(s+1) | sign<<s | pay)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -551,7 +559,7 @@ def _split_packed_pallas(p2: jax.Array, plan, interpret: bool = False):
         f2 = jnp.pad(f2, ((0, 0), (0, rpad)), constant_values=fill)
     rp = r + rpad
 
-    def kernel(f_ref, val_ref, pay_ref, buf):
+    def kernel(f_ref, out_ref, buf):
         @pl.when(pl.program_id(0) == 0)
         def _():
             buf[pl.ds(0, t), :] = jnp.full((t, bl), fill, jnp.int32)
@@ -569,36 +577,32 @@ def _split_packed_pallas(p2: jax.Array, plan, interpret: bool = False):
         vp = acc_p >> s
         use_p = vp < vn
         mask_s = np.int32((1 << s) - 1)
-        val_ref[:, :] = jnp.minimum(vn, vp)
-        pay_ref[:, :] = jnp.where(
-            use_p, (acc_p & mask_s) | np.int32(1 << s), acc_n & mask_s)
+        val = jnp.minimum(jnp.minimum(vn, vp), np.int32(cap))
+        pay = jnp.where(use_p, acc_p & mask_s, acc_n & mask_s)
+        out_ref[:, :] = (val << (s + 1)) \
+            | (use_p.astype(jnp.int32) << s) | pay
 
-    val, pay = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((c, rp), jnp.int32),
-                   jax.ShapeDtypeStruct((c, rp), jnp.int32)),
+        out_shape=jax.ShapeDtypeStruct((c, rp), jnp.int32),
         grid=(rp // bl,),
         in_specs=[
             pl.BlockSpec((c, bl), lambda j: (0, j), memory_space=pltpu.VMEM)
         ],
-        out_specs=(
-            pl.BlockSpec((c, bl), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, bl), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((c, bl), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((c + 2 * t, bl), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(f2)
-    return (val[:, :r].reshape(c, m, l), pay[:, :r].reshape(c, m, l))
+    return out[:, :r].reshape(c, m, l)
 
 
 def _closest_passes(occ_t, plan, interpret: bool):
     """The three packed passes on the transposed [A,B,C] volume; returns
-    (val, pay) in [C,A,B] layout."""
+    the final packed word (val<<(s+1) | sign<<s | pay) in [C,A,B] layout."""
     on_tpu = jax.default_backend() == "tpu" or interpret
     if on_tpu:
         p1 = _binary_packed_pallas(occ_t, plan, interpret)      # [A,B,C]
@@ -609,6 +613,16 @@ def _closest_passes(occ_t, plan, interpret: bool):
     p1 = _binary_packed_xla(occ_t, plan)
     p2 = _window_packed_xla(p1.transpose(1, 0, 2), plan)
     return _split_packed_xla(p2.transpose(2, 1, 0), plan)
+
+
+def unpack_split(vps: jax.Array, plan):
+    """Decode the final packed word -> (val, sign, b*, a*)."""
+    s, ba, bb = plan["s"], plan["ba"], plan["bb"]
+    val = vps >> (s + 1)
+    sign = (vps >> s) & 1
+    bstar = (vps >> ba) & ((1 << bb) - 1)
+    astar = vps & ((1 << ba) - 1)
+    return val, sign, bstar, astar
 
 
 @partial(jax.jit, static_argnames=("trunc_vox", "interpret"))
@@ -632,17 +646,14 @@ def truncated_edt_d2_closest(
     a_ax, b_ax, c_ax = plan["a"], plan["b"], plan["c"]
 
     occ_t = occupied.transpose(a_ax, b_ax, c_ax).astype(jnp.uint8)
-    val, pay = _closest_passes(occ_t, plan, interpret)      # [C,A,B]
+    vps = _closest_passes(occ_t, plan, interpret)           # [C,A,B]
 
     # back to natural [X,Y,Z]: current layout axes are (c_ax, a_ax, b_ax)
     inv = tuple(int(i) for i in np.argsort((c_ax, a_ax, b_ax)))
-    val = val.transpose(inv)
-    pay = pay.transpose(inv)
+    vps = vps.transpose(inv)
 
     shape = occupied.shape
-    sign = (pay >> s) & 1
-    bstar = (pay >> ba) & ((1 << bb) - 1)
-    astar = pay & ((1 << ba) - 1)
+    val, sign, bstar, astar = unpack_split(vps, plan)
     ia = jax.lax.broadcasted_iota(jnp.int32, shape, a_ax)
     ib = jax.lax.broadcasted_iota(jnp.int32, shape, b_ax)
     ic = jax.lax.broadcasted_iota(jnp.int32, shape, c_ax)

@@ -366,16 +366,15 @@ def _local_edt_closest(shape, n: int, trunc_vox: int, coord_scale: int = 1):
         p3in = p2.transpose(2, 1, 0)              # [lx, A, B]
         ext = _halo_planes_x(p3in, t, n, "x", cap_fill)
         if on_tpu:
-            val, pay = _split_packed_pallas(ext, plan)
+            vps = _split_packed_pallas(ext, plan)
         else:
-            val, pay = _split_packed_xla(ext, plan)
-        val = val[t:-t]                           # crop the halo rows
-        pay = pay[t:-t]
+            vps = _split_packed_xla(ext, plan)
+        vps = vps[t:-t]                           # crop the halo rows
 
         # epilogue with GLOBAL x coordinates (layout [lx, A, B])
-        sign = (pay >> s) & 1
-        bstar = (pay >> ba) & ((1 << bb) - 1)
-        astar = pay & ((1 << ba) - 1)
+        from ..ops.pallas.edt import unpack_split
+
+        val, sign, bstar, astar = unpack_split(vps, plan)
         lshape = val.shape
         ia = jax.lax.broadcasted_iota(jnp.int32, lshape, 1)
         ib = jax.lax.broadcasted_iota(jnp.int32, lshape, 2)

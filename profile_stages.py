@@ -72,14 +72,13 @@ def main():
         + tfs[:, None, :3, 3]
     origins = tfs[:, :3, 3]
 
-    # ---- stage: seeds splat (vmapped packed scatter) ----
+    # ---- stage: seeds splat (one flat packed scatter) ----
     @jax.jit
     def splat(p):
         def body(i, carry):
             p_, acc = carry
-            starts, po_box, seeds, hit_b, epfree_b, rvalid = jax.vmap(
-                lambda a, v, o: raycast._scanline_seeds(cfg, a, v, o)
-            )(p_, vals, origins)
+            starts, po_box, seeds, hit_b, epfree_b, rvalid = \
+                raycast._scanline_seeds_batch(cfg, p_, vals, origins)
             s = seeds[0, 0, 0, 0]
             return (p_ + s * 1e-20, acc + s)
         _, acc = jax.lax.fori_loop(0, R, body, (p, jnp.float32(0)))
@@ -87,9 +86,9 @@ def main():
     timed("seeds splat (3x49k packed scatter)", splat, pw)
 
     # precompute seeds once for downstream stages
-    starts, po_box, seeds, hit_b, epfree_b, rvalid = jax.jit(jax.vmap(
-        lambda a, v, o: raycast._scanline_seeds(cfg, a, v, o)
-    ))(pw, vals, origins)
+    starts, po_box, seeds, hit_b, epfree_b, rvalid = jax.jit(
+        lambda a, v, o: raycast._scanline_seeds_batch(cfg, a, v, o)
+    )(pw, vals, origins)
     jax.block_until_ready(seeds)
 
     # ---- stage: carve sweeps + combine ----
@@ -162,6 +161,14 @@ def main():
 
     timed("EDT fine (exact, t=%d)" % t_fine,
           loop_occ(lambda o: edt_mod.truncated_edt_d2(o, t_fine)), occupied)
+
+    if edt_mod.closest_plan(occupied.shape, t_fine) is not None:
+        def edt_closest(o):
+            d2, cl = edt_mod.truncated_edt_d2_closest(o, t_fine)
+            # fold BOTH outputs into the probe so neither is DCE'd
+            return d2 + cl[0, 0, 0, 0].astype(jnp.int32)
+        timed("EDT+closest (packed argmin, t=%d)" % t_fine,
+              loop_occ(edt_closest), occupied)
 
     @jax.jit
     def down(o):
