@@ -96,24 +96,39 @@ def _minplus_pass_pallas(f: jax.Array, t: int,
             buf[pl.ds(0, t), :] = jnp.full((t, bl), inf, dtype)
             buf[pl.ds(t + a, t), :] = jnp.full((t, bl), inf, dtype)
 
-        buf[pl.ds(t, a), :] = f_ref[:, :]
+        blk = f_ref[:, :]
+        buf[pl.ds(t, a), :] = blk
 
-        # symmetric pairing: offsets +-k share one k^2 add (min of the two
-        # shifted slabs first) — 3 VPU ops per pair instead of 4.
-        # The window loop is a STATIC python unroll, not a fori_loop: a
-        # traced loop index makes every tap a dynamic sublane slice, which
-        # Mosaic lowers with a per-iteration runtime shuffle — measured
-        # 4.54 -> 3.56 ms per pass at t=100 (cow grid) from this change
-        # alone.  (Going further — mod-8 residue-rolled scratch copies so
-        # every tap is sublane-aligned — measured NO further gain: static
-        # constant-offset shuffles are already cheap, see PERF.md.)
-        acc = buf[pl.ds(t, a), :]
-        np_dtype = np.int16 if dtype == jnp.int16 else np.int32
-        for k in range(1, t + 1):
-            lo = buf[pl.ds(t - k, a), :]
-            hi = buf[pl.ds(t + k, a), :]
-            acc = jnp.minimum(acc, jnp.minimum(lo, hi) + np_dtype(k * k))
-        out_ref[:, :] = acc
+        # content skip: a block whose every input is "far" (>= inf) stays
+        # far — write inf and skip the whole window loop.  One block-min
+        # costs ~1/3 of a single tap; truncated scenes leave most of the
+        # volume far, so this trades a cheap test for the t-tap loop.
+        all_far = jnp.min(blk) >= np.asarray(inf, dtype)
+
+        @pl.when(all_far)
+        def _():
+            out_ref[:, :] = jnp.full((a, bl), inf, dtype)
+
+        @pl.when(jnp.logical_not(all_far))
+        def _():
+            # symmetric pairing: offsets +-k share one k^2 add (min of the
+            # two shifted slabs first) — 3 VPU ops per pair instead of 4.
+            # The window loop is a STATIC python unroll, not a fori_loop: a
+            # traced loop index makes every tap a dynamic sublane slice,
+            # which Mosaic lowers with a per-iteration runtime shuffle —
+            # measured 4.54 -> 3.56 ms per pass at t=100 (cow grid) from
+            # this change alone.  (Going further — mod-8 residue-rolled
+            # scratch copies so every tap is sublane-aligned — measured NO
+            # further gain: static constant-offset shuffles are already
+            # cheap, see PERF.md.)
+            acc = buf[pl.ds(t, a), :]
+            np_dtype = np.int16 if dtype == jnp.int16 else np.int32
+            for k in range(1, t + 1):
+                lo = buf[pl.ds(t - k, a), :]
+                hi = buf[pl.ds(t + k, a), :]
+                acc = jnp.minimum(acc,
+                                  jnp.minimum(lo, hi) + np_dtype(k * k))
+            out_ref[:, :] = acc
 
     out = pl.pallas_call(
         kernel,
@@ -175,15 +190,24 @@ def _binary_pass_pallas(f: jax.Array, t: int,
             buf[pl.ds(pad + a, pad), :] = jnp.full((pad, bl), _INF_EDT,
                                                    jnp.int32)
 
-        buf[pl.ds(pad, a), :] = f_ref[:, :]
-        for sh in shifts:
-            g = buf[pl.ds(pad, a), :]
-            lo = buf[pl.ds(pad - sh, a), :]
-            hi = buf[pl.ds(pad + sh, a), :]
-            buf[pl.ds(pad, a), :] = jnp.minimum(
-                g, jnp.minimum(lo, hi) + sh)
-        d = buf[pl.ds(pad, a), :]
-        out_ref[:, :] = jnp.where(d > t, _INF_EDT, d * d)
+        blk = f_ref[:, :]
+        all_far = jnp.min(blk) >= np.int32(_INF_EDT)  # no seed: skip
+
+        @pl.when(all_far)
+        def _():
+            out_ref[:, :] = jnp.full((a, bl), _INF_EDT, jnp.int32)
+
+        @pl.when(jnp.logical_not(all_far))
+        def _():
+            buf[pl.ds(pad, a), :] = blk
+            for sh in shifts:
+                g = buf[pl.ds(pad, a), :]
+                lo = buf[pl.ds(pad - sh, a), :]
+                hi = buf[pl.ds(pad + sh, a), :]
+                buf[pl.ds(pad, a), :] = jnp.minimum(
+                    g, jnp.minimum(lo, hi) + sh)
+            d = buf[pl.ds(pad, a), :]
+            out_ref[:, :] = jnp.where(d > t, _INF_EDT, d * d)
 
     out = pl.pallas_call(
         kernel,
@@ -444,22 +468,33 @@ def _binary_packed_pallas(occ: jax.Array, plan,
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (a, bl), 0)
         occ_blk = f_ref[:, :]
-        # arithmetic select (occ is {0,1}): Mosaic rejects a vselect whose
-        # branches are both scalar splats ("invalid relayout ... replicated
-        # in destination but not in source")
-        free = np.int32(1) - occ_blk.astype(jnp.int32)
-        buf[pl.ds(pad, a), :] = free * np.int32(l1inf << ba) + iota
-        for sh in shifts:
-            g = buf[pl.ds(pad, a), :]
-            lo = buf[pl.ds(pad - sh, a), :]
-            hi = buf[pl.ds(pad + sh, a), :]
-            buf[pl.ds(pad, a), :] = jnp.minimum(
-                g, jnp.minimum(lo, hi) + np.int32(sh << ba))
-        p = buf[pl.ds(pad, a), :]
-        d = p >> ba
-        astar = p & np.int32((1 << ba) - 1)
-        val = jnp.where(d > t, np.int32(cap), d * d)
-        out_ref[:, :] = (val << ba) | astar
+        # content skip: no seed in the block => every column stays far
+        # (val=cap, payload=own row, exactly what the loop would produce).
+        # i32 convert first: Mosaic has no unsigned reductions.
+        none_occ = jnp.max(occ_blk.astype(jnp.int32)) == 0
+
+        @pl.when(none_occ)
+        def _():
+            out_ref[:, :] = np.int32(cap << ba) | iota
+
+        @pl.when(jnp.logical_not(none_occ))
+        def _():
+            # arithmetic select (occ is {0,1}): Mosaic rejects a vselect
+            # whose branches are both scalar splats ("invalid relayout ...
+            # replicated in destination but not in source")
+            free = np.int32(1) - occ_blk.astype(jnp.int32)
+            buf[pl.ds(pad, a), :] = free * np.int32(l1inf << ba) + iota
+            for sh in shifts:
+                g = buf[pl.ds(pad, a), :]
+                lo = buf[pl.ds(pad - sh, a), :]
+                hi = buf[pl.ds(pad + sh, a), :]
+                buf[pl.ds(pad, a), :] = jnp.minimum(
+                    g, jnp.minimum(lo, hi) + np.int32(sh << ba))
+            p = buf[pl.ds(pad, a), :]
+            d = p >> ba
+            astar = p & np.int32((1 << ba) - 1)
+            val = jnp.where(d > t, np.int32(cap), d * d)
+            out_ref[:, :] = (val << ba) | astar
 
     out = pl.pallas_call(
         kernel,
@@ -509,16 +544,27 @@ def _window_packed_pallas(p1: jax.Array, plan,
         iota = jax.lax.broadcasted_iota(jnp.int32, (b, bl), 0)
         v = raw >> ba
         astar = raw & np.int32((1 << ba) - 1)
-        buf[pl.ds(t, b), :] = (v << s) | (iota << ba) | astar
+        packed = (v << s) | (iota << ba) | astar
 
-        acc = buf[pl.ds(t, b), :]
-        for k in range(1, t + 1):
-            lo = buf[pl.ds(t - k, b), :]
-            hi = buf[pl.ds(t + k, b), :]
-            acc = jnp.minimum(acc, jnp.minimum(lo, hi)
-                              + np.int32((k * k) << s))
-        v2 = jnp.minimum(acc >> s, np.int32(cap))
-        out_ref[:, :] = (v2 << s) | (acc & np.int32((1 << s) - 1))
+        # content skip: all inputs capped-far => the center always wins
+        # (candidates add k^2<<s on top of cap) — the repack IS the output
+        all_far = jnp.min(raw) >= np.int32(int(cap) << ba)
+
+        @pl.when(all_far)
+        def _():
+            out_ref[:, :] = packed
+
+        @pl.when(jnp.logical_not(all_far))
+        def _():
+            buf[pl.ds(t, b), :] = packed
+            acc = packed
+            for k in range(1, t + 1):
+                lo = buf[pl.ds(t - k, b), :]
+                hi = buf[pl.ds(t + k, b), :]
+                acc = jnp.minimum(acc, jnp.minimum(lo, hi)
+                                  + np.int32((k * k) << s))
+            v2 = jnp.minimum(acc >> s, np.int32(cap))
+            out_ref[:, :] = (v2 << s) | (acc & np.int32((1 << s) - 1))
 
     out = pl.pallas_call(
         kernel,
@@ -565,22 +611,33 @@ def _split_packed_pallas(p2: jax.Array, plan,
             buf[pl.ds(0, t), :] = jnp.full((t, bl), fill, jnp.int32)
             buf[pl.ds(t + c, t), :] = jnp.full((t, bl), fill, jnp.int32)
 
-        buf[pl.ds(t, c), :] = f_ref[:, :]
-        center = buf[pl.ds(t, c), :]
-        acc_n = center
-        acc_p = center
-        for k in range(1, t + 1):
-            kk = np.int32((k * k) << s)
-            acc_n = jnp.minimum(acc_n, buf[pl.ds(t - k, c), :] + kk)
-            acc_p = jnp.minimum(acc_p, buf[pl.ds(t + k, c), :] + kk)
-        vn = acc_n >> s
-        vp = acc_p >> s
-        use_p = vp < vn
+        center = f_ref[:, :]
         mask_s = np.int32((1 << s) - 1)
-        val = jnp.minimum(jnp.minimum(vn, vp), np.int32(cap))
-        pay = jnp.where(use_p, acc_p & mask_s, acc_n & mask_s)
-        out_ref[:, :] = (val << (s + 1)) \
-            | (use_p.astype(jnp.int32) << s) | pay
+        # content skip: all inputs capped-far => the center wins both
+        # accumulators (sign 0, own payload)
+        all_far = jnp.min(center) >= np.int32(int(cap) << s)
+
+        @pl.when(all_far)
+        def _():
+            out_ref[:, :] = np.int32(int(cap) << (s + 1)) \
+                | (center & mask_s)
+
+        @pl.when(jnp.logical_not(all_far))
+        def _():
+            buf[pl.ds(t, c), :] = center
+            acc_n = center
+            acc_p = center
+            for k in range(1, t + 1):
+                kk = np.int32((k * k) << s)
+                acc_n = jnp.minimum(acc_n, buf[pl.ds(t - k, c), :] + kk)
+                acc_p = jnp.minimum(acc_p, buf[pl.ds(t + k, c), :] + kk)
+            vn = acc_n >> s
+            vp = acc_p >> s
+            use_p = vp < vn
+            val = jnp.minimum(jnp.minimum(vn, vp), np.int32(cap))
+            pay = jnp.where(use_p, acc_p & mask_s, acc_n & mask_s)
+            out_ref[:, :] = (val << (s + 1)) \
+                | (use_p.astype(jnp.int32) << s) | pay
 
     out = pl.pallas_call(
         kernel,

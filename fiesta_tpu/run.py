@@ -481,10 +481,28 @@ def main(argv=None) -> int:
                     "--pose-topic (see --bag-info) and the bag's timestamps")
         else:
             n_frames = len(frames)
+            # One-frame-ahead prefetch: pad + upload the NEXT scan on a
+            # worker thread while the device integrates the current one
+            # (the reference decouples its sensor callbacks from the
+            # update timer the same way, Fiesta.h:53-54).  Per-frame host
+            # prep is the serial cost the async dispatches cannot hide;
+            # overlapping it brings the online soak's wall-clock/frame
+            # close to the fused-stream tick cost.
+            prefetch = None
+            if kind == "cloud" and len(frames) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                prefetch = ThreadPoolExecutor(max_workers=1)
+            fut = (prefetch.submit(pipe.preload_cloud, frames[0][2])
+                   if prefetch else None)
             for i, (t, (pos, quat), scan) in enumerate(frames):
                 pipe.observe_pose(t, pos, quat)
                 if kind == "cloud":
-                    pipe.observe_cloud(t, scan)
+                    data = fut.result() if fut is not None else scan
+                    if fut is not None and i + 1 < len(frames):
+                        fut = prefetch.submit(pipe.preload_cloud,
+                                              frames[i + 1][2])
+                    pipe.observe_cloud(t, data)
                 else:
                     pipe.observe_depth(t, scan)
                 if i + 1 < len(frames):
@@ -492,6 +510,8 @@ def main(argv=None) -> int:
                 pipe.process()
                 if i % args.update_every == args.update_every - 1:
                     after_update(pipe.update())
+            if prefetch is not None:
+                prefetch.shutdown(wait=False)
             pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
             pipe.process()
         pipe.update()

@@ -130,6 +130,26 @@ def main():
     timed("counter slice RMW (6 u8 slices)", slices,
           state.hit_cnt, state.miss_cnt)
 
+    # experiment: hit<<8|miss packed into ONE u16 grid -> 3 slice RMWs
+    packed_c = (state.hit_cnt.astype(jnp.uint16) * 256
+                + state.miss_cnt.astype(jnp.uint16))
+    pbox = (hitc.astype(jnp.uint16) * 256 + missc.astype(jnp.uint16))
+
+    @jax.jit
+    def slices_packed(pc):
+        def body(i, carry):
+            pcnt = carry
+            for k in range(3):
+                s0, s1, s2 = starts[k, 0], starts[k, 1], starts[k, 2]
+                reg = jax.lax.dynamic_slice(pcnt, (s0, s1, s2), box)
+                pcnt = jax.lax.dynamic_update_slice(
+                    pcnt, reg + pbox[k], (s0, s1, s2))
+            return pcnt
+        pcnt = jax.lax.fori_loop(0, R, body, pc)
+        return pcnt[0, 0, 0]
+    timed("counter slice RMW packed u16 (3 slices)", slices_packed,
+          packed_c)
+
     # ---- stage: fusion ----
     @jax.jit
     def fuse(lo):
