@@ -25,8 +25,19 @@ from .grid import INF_D2, MapState, occupied_grid
 
 def check_consistency(cfg: FiestaConfig, state: MapState) -> bool:
     """Structural invariant check; raises AssertionError with detail on
-    failure, returns True otherwise.  Only meaningful in incremental mode
-    (rebuild mode does not maintain ``closest``)."""
+    failure, returns True otherwise.
+
+    Applies to incremental mode and (since round 2) the default rebuild
+    mode, which maintains ``closest`` via the packed-argmin EDT.  With the
+    HIERARCHICAL option (``edt_fine_dist < trunc_dist``) the far field's
+    closest coords are coarse-quantized by design (snapped to the even
+    corner of the winning 2x2x2 block): the exact invariants are enforced
+    on the fine field only, and the far field is checked against the
+    documented quantization envelope (|v-c|^2 within 2*sqrt(3*d2)+3 of
+    d2; occupancy checked at BLOCK granularity).
+    """
+    from .ops.pallas.edt import trunc_vox_for
+
     d2 = np.asarray(state.d2)
     closest = np.asarray(state.closest)
     occ = np.asarray(occupied_grid(cfg, state.logodds))
@@ -34,14 +45,48 @@ def check_consistency(cfg: FiestaConfig, state: MapState) -> bool:
     defined = closest[0] >= 0
     if not np.all((d2 < int(INF_D2)) == defined):
         raise AssertionError("d2 finiteness disagrees with closest definedness")
-    if defined.any():
-        cx, cy, cz = (c[defined] for c in closest)
+
+    t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    hier = (cfg.esdf_mode == "rebuild" and t_fine < t_total
+            and all(g % 2 == 0 for g in cfg.grid_shape))
+    if hier:
+        # coarse far-field values can quantize BELOW t_fine^2 near the
+        # boundary; shrink the strict set by the quantization envelope so
+        # only guaranteed-fine voxels face the exact invariants (the band
+        # falls into the relaxed far-field check, which genuinely-fine
+        # voxels pass trivially)
+        strict_cut = max(
+            0, t_fine * t_fine
+            - int(np.ceil(2 * np.sqrt(3) * t_fine)) - 3)
+        exact = defined & (d2 <= strict_cut)
+    else:
+        exact = defined
+
+    if exact.any():
+        cx, cy, cz = (c[exact] for c in closest)
         if not occ[cx, cy, cz].all():
             raise AssertionError("closest obstacle not occupied")
-        vx, vy, vz = np.nonzero(defined)
+        vx, vy, vz = np.nonzero(exact)
         want = (vx - cx) ** 2 + (vy - cy) ** 2 + (vz - cz) ** 2
-        if not np.array_equal(d2[defined], want):
+        if not np.array_equal(d2[exact], want):
             raise AssertionError("d2 != |v - closest|^2")
+    far = defined & ~exact
+    if far.any():
+        cx, cy, cz = (c[far].astype(np.int64) for c in closest)
+        occ_blk = occ.reshape(occ.shape[0] // 2, 2, occ.shape[1] // 2, 2,
+                              occ.shape[2] // 2, 2).any(axis=(1, 3, 5))
+        if not occ_blk[cx // 2, cy // 2, cz // 2].all():
+            raise AssertionError(
+                "far-field closest outside an occupied coarse block")
+        vx, vy, vz = np.nonzero(far)
+        got = ((vx - cx) ** 2 + (vy - cy) ** 2
+               + (vz - cz) ** 2).astype(np.float64)
+        tol = 2.0 * np.sqrt(3.0 * d2[far]) + 3.0
+        if not np.all(np.abs(got - d2[far]) <= tol):
+            raise AssertionError(
+                "far-field |v - closest|^2 outside the coarse "
+                "quantization envelope")
     if occ.any() and not np.all(d2[occ] == 0):
         raise AssertionError("occupied voxel with nonzero distance")
     return True

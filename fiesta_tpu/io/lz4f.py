@@ -224,7 +224,9 @@ def compress_frame(data: bytes, block_size_id: int = 6,
     header = bytes([flg, bd])
     hc = (xxh32(header) >> 8) & 0xFF
     out = bytearray(struct.pack("<I", MAGIC) + header + bytes([hc]))
-    for pos in range(0, len(data), bmax) or [0]:
+    # empty input: no data blocks at all, just the EndMark (the canonical
+    # encoding; a zero-length block word would collide with EndMark's 0)
+    for pos in range(0, len(data), bmax):
         chunk = data[pos:pos + bmax]
         comp = compress_block(chunk)
         if len(comp) < len(chunk):
@@ -258,10 +260,14 @@ def decompress_frame(data: bytes) -> bytes:
     i = 6
     content_size = None
     if has_content_size:
+        if i + 8 > len(data):
+            raise LZ4Error("truncated frame header (content size)")
         (content_size,) = struct.unpack_from("<Q", data, i)
         i += 8
     if has_dict_id:
         i += 4
+    if i >= len(data):
+        raise LZ4Error("truncated frame header")
     hc = data[i]
     i += 1
     want = (xxh32(data[4:i - 1]) >> 8) & 0xFF
@@ -286,6 +292,8 @@ def decompress_frame(data: bytes) -> bytes:
         block = data[i:i + bsz]
         i += bsz
         if block_checksum:
+            if i + 4 > len(data):
+                raise LZ4Error("truncated block checksum")
             (bc,) = struct.unpack_from("<I", data, i)
             i += 4
             if bc != xxh32(block):

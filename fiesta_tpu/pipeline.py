@@ -163,6 +163,9 @@ def rebuild_esdf(cfg: FiestaConfig, occupied: jax.Array):
     return truncated_edt_d2_closest(occupied, t_total)
 
 
+rebuild_esdf_jit = partial(jax.jit, static_argnames=("cfg",))(rebuild_esdf)
+
+
 @partial(jax.jit, static_argnames=("cfg", "use_window", "max_iters"),
          donate_argnames=("state",))
 def esdf_update(

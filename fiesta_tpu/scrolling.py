@@ -319,10 +319,11 @@ class ScrollingMixin:
         self.restore_count += 1
         occ = occupied_grid(cfg, self.state.logodds)
         if cfg.esdf_mode == "rebuild":
-            from .pipeline import rebuild_esdf
+            # module-level cached jit: a per-call jax.jit wrapper would
+            # retrace+recompile the whole EDT program on EVERY restore
+            from .pipeline import rebuild_esdf_jit
 
-            d2, closest = jax.jit(
-                rebuild_esdf, static_argnames=("cfg",))(cfg, occ)
+            d2, closest = rebuild_esdf_jit(cfg, occ)
             self.state = dataclasses.replace(
                 self.state, d2=d2,
                 closest=self.state.closest if closest is None else closest,
@@ -368,6 +369,16 @@ class ScrollingMixin:
     def query_dist_grad(self, positions):
         p = np.asarray(positions, np.float64) - self._offset_m()
         return super().query_dist_grad(p)
+
+    def query_closest_obstacle(self, positions):
+        """World-frame closest-obstacle query: positions shift into the
+        virtual frame, returned obstacle coordinates shift back out."""
+        import jax.numpy as jnp
+
+        p = np.asarray(positions, np.float64) - self._offset_m()
+        pts, dist = super().query_closest_obstacle(p)
+        off = jnp.asarray(self._offset_m(), pts.dtype)
+        return jnp.where(jnp.isnan(pts), pts, pts + off), dist
 
     def occupied_world_points(self) -> np.ndarray:
         """World positions of occupied voxel centers."""

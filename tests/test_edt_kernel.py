@@ -177,7 +177,6 @@ def test_hierarchical_edt_closest():
     far = (d2 < int(INF_D2)) & ~fine
     if far.any():
         cx, cy, cz = (c[far] for c in closest)
-        occ_any = occ[..., ::1]
         block_occ = (occ.reshape(20, 2, 16, 2, 12, 2).any(axis=(1, 3, 5)))
         assert block_occ[cx // 2, cy // 2, cz // 2].all()
     # definedness matches d2 everywhere

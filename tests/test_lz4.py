@@ -133,3 +133,24 @@ def test_frame_uncompressed_block_path():
     (bsz,) = struct.unpack_from("<I", frame, 7)
     assert bsz & 0x80000000                   # raw block flag
     assert lz4f.decompress_frame(frame) == data
+
+
+def test_truncated_frames_raise_lz4error():
+    """Truncated frames fail with LZ4Error, never raw IndexError."""
+    # header with content-size flag set, cut mid-header
+    trunc = struct.pack("<I", 0x184D2204) + bytes([0x48, 0x40])
+    with pytest.raises(lz4f.LZ4Error):
+        lz4f.decompress_frame(trunc)
+    # valid frame cut right after the first block size word
+    frame = lz4f.compress_frame(b"some payload")
+    with pytest.raises(lz4f.LZ4Error):
+        lz4f.decompress_frame(frame[:12])
+
+
+def test_empty_frame_has_no_data_blocks():
+    """compress_frame(b'') emits just EndMark (+checksum): a zero-length
+    data block would collide with EndMark's encoding."""
+    frame = lz4f.compress_frame(b"")
+    (first_word,) = struct.unpack_from("<I", frame, 7)
+    assert first_word == 0          # EndMark immediately
+    assert lz4f.decompress_frame(frame) == b""

@@ -315,3 +315,21 @@ def test_rebuild_closest_off_flag():
 
     cfg = dataclasses.replace(SMALL, track_closest=False)
     assert not rebuild_tracks_closest(cfg)
+
+
+def test_check_consistency_hierarchical_mode():
+    """check_consistency accepts a healthy hierarchical-mode map (the far
+    field's closest coords are coarse-quantized by design) and still
+    enforces the exact invariants on the fine field."""
+    import dataclasses
+
+    from fiesta_tpu import debug
+
+    cfg = dataclasses.replace(SMALL, esdf_mode="rebuild", trunc_dist=2.0,
+                              edt_fine_dist=1.0)
+    _, pipe = _run_replay("scanline", cfg=cfg)
+    d2 = np.asarray(pipe.state.d2)
+    from fiesta_tpu.ops.pallas.edt import trunc_vox_for
+    tf = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
+    assert (d2[(d2 < 1 << 29)] > tf * tf).any(), "no far field exercised"
+    assert debug.check_consistency(cfg, pipe.state)

@@ -173,3 +173,48 @@ def test_cli_scrolling_flag(tmp_path):
 
     assert main(["--preset", "small", "--frames", "6", "--platform", "cpu",
                  "--scrolling", "--seed", "2"]) == 0
+
+
+def test_scrolling_closest_query_world_frame():
+    """query_closest_obstacle on a scrolled pipeline takes and returns
+    WORLD-frame coordinates (regression: it used to read the virtual
+    frame, off by origin_vox * resolution after a recenter)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, trunc_dist=1.5, edt_fine_dist=1.5,
+                              esdf_mode="rebuild")
+    world, frames = replay.make_sequence(
+        cfg, n_frames=6, n_boxes=6, seed=3, height=120, width=160,
+        orbit_radius=0.8, period=4.0)
+    pipe = ScrollingFiestaPipeline(cfg, method="scanline")
+    for i, (t, (pos, quat), scan) in enumerate(frames):
+        pipe.observe_pose(t, pos, quat)
+        pipe.observe_cloud(t, scan)
+        if i + 1 < len(frames):
+            pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+        else:
+            pipe.observe_pose(t + 1.0, pos, quat)
+        pipe.process()
+        if i % 3 == 2:
+            pipe.update()
+    pipe.update()
+    # force a recenter so world != virtual frame
+    pipe._apply_scroll(np.array([7, -4, 0], np.int64))
+    pipe._rederive_distances()
+    assert np.any(pipe.origin_vox != 0)
+
+    # query from world positions of mapped voxels: answers must agree
+    # with the world-frame distance query, and returned points must be
+    # occupied in WORLD coordinates
+    occ_pts = pipe.occupied_world_points()
+    assert occ_pts.shape[0] > 0
+    q = occ_pts[:5] + np.asarray([0.15, 0.0, 0.0])
+    pts, dist = pipe.query_closest_obstacle(q)
+    pts, dist = np.asarray(pts), np.asarray(dist)
+    dd = np.asarray(pipe.query_distance(q))
+    for i in range(len(q)):
+        if dist[i] < cfg.infinity_distance:
+            assert abs(dist[i] - dd[i]) < 1e-5
+            # the returned point is a world position of an occupied voxel
+            d_to_occ = np.linalg.norm(occ_pts - pts[i], axis=1).min()
+            assert d_to_occ < cfg.resolution * 0.51, d_to_occ
