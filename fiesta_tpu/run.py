@@ -386,7 +386,10 @@ def main(argv=None) -> int:
 
         img = viz.slice_image(cfg, pipe.state)
         np.savez_compressed(
-            os.path.join(viz_dir, f"slice_{tag}.npz"), rgb=img)
+            os.path.join(viz_dir, f"slice_{tag}.npz"), rgb=img,
+            # the reference's on-screen perf marker (Fiesta.h:161-188),
+            # published alongside the slice at visualization cadence
+            perf_text=np.asarray(viz.performance_text()))
 
     t_start = time.perf_counter()
     n_updates = 0

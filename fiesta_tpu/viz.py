@@ -114,6 +114,22 @@ def slice_image(
     return img
 
 
+def performance_text(last_update_ms: Optional[float] = None,
+                     tag: str = "UpdateESDF") -> str:
+    """The reference's floating performance text marker (component C16,
+    Fiesta.h:161-188 renders it; Fiesta.h:524-529 composes exactly this
+    string — current + average update time — though the shipped code
+    always invokes Visualization with "").  Returned as a plain string
+    for the npz/stderr surfaces that replace rviz here."""
+    from .timing import Timing
+
+    mean_ms = Timing.get_mean_seconds(tag) * 1e3
+    if last_update_ms is None:
+        last_update_ms = mean_ms
+    return (f"Fiesta\nCurrent update Time\n{last_update_ms:.3f} ms\n"
+            f"Average update Time\n{mean_ms:.3f} ms")
+
+
 def slice_index(cfg, slice_z: Optional[float] = None) -> int:
     """Z voxel index of the visualization slice (cfg.slice_vis_level)."""
     z_m = cfg.slice_vis_level if slice_z is None else slice_z

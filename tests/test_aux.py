@@ -242,3 +242,17 @@ def test_set_occupancy_direct_respects_probabilistic_threshold():
     occ2 = np.asarray(occupied_grid(CFG, new_lo2))
     assert not occ2[3, 4, 5] and occ2[6, 7, 8]
     assert np.asarray(dele2)[3, 4, 5] and not np.asarray(ins2).any()
+
+
+def test_performance_text_marker():
+    """The reference's floating perf marker text (Fiesta.h:524-529): same
+    composition, fed from the timing registry."""
+    from fiesta_tpu import viz
+    from fiesta_tpu.timing import Timer, Timing
+
+    Timing.reset()
+    with Timer("UpdateESDF"):
+        pass
+    txt = viz.performance_text(last_update_ms=12.5)
+    assert txt.startswith("Fiesta\nCurrent update Time\n12.500 ms")
+    assert "Average update Time" in txt
