@@ -498,6 +498,8 @@ def main(argv=None) -> int:
                 prefetch = ThreadPoolExecutor(max_workers=1)
             fut = (prefetch.submit(pipe.preload_cloud, frames[0][2])
                    if prefetch else None)
+            frame_wall = []
+            t_prev = time.perf_counter()
             for i, (t, (pos, quat), scan) in enumerate(frames):
                 pipe.observe_pose(t, pos, quat)
                 if kind == "cloud":
@@ -513,8 +515,19 @@ def main(argv=None) -> int:
                 pipe.process()
                 if i % args.update_every == args.update_every - 1:
                     after_update(pipe.update())
+                now = time.perf_counter()
+                frame_wall.append(now - t_prev)
+                t_prev = now
             if prefetch is not None:
                 prefetch.shutdown(wait=False)
+            if len(frame_wall) >= 20:
+                # steady-state frame cost, separated from first-compiles:
+                # median over the second half of the replay
+                steady = sorted(frame_wall[len(frame_wall) // 2:])
+                med = steady[len(steady) // 2]
+                print(f"steady-state: {med * 1e3:.2f} ms/frame median "
+                      f"(2nd half of {len(frame_wall)} frames)",
+                      file=sys.stderr)
             pipe.observe_pose(frames[-1][0] + 1.0, *frames[-1][1])
             pipe.process()
         pipe.update()
