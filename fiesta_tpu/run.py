@@ -287,10 +287,22 @@ def main(argv=None) -> int:
         frames = seq
         kind = "cloud"
 
+    def load_archive():
+        """--persist plumbing shared by the scrolling engines."""
+        if args.persist is None:
+            return None
+        import os as _os
+
+        from .archive import TileArchive
+
+        if args.persist and _os.path.exists(args.persist):
+            a = TileArchive.from_file(args.persist)
+            print(f"loaded archive: {a.num_tiles} tiles, "
+                  f"{a.seen_voxels()} seen voxels", file=sys.stderr)
+            return a
+        return TileArchive()
+
     if args.devices:
-        if args.scrolling:
-            raise SystemExit("--devices does not combine with --scrolling "
-                             "(the sharded engine covers a fixed AABB)")
         if args.esdf_mode == "incremental":
             raise SystemExit("--devices runs the sharded rebuild tick; "
                              "incremental mode is single-device")
@@ -309,7 +321,10 @@ def main(argv=None) -> int:
                     f"--mpc/--fly with --devices {args.devices}: the "
                     f"{MPCConfig().n_rollouts} MPPI rollouts must divide "
                     "by the mesh size")
-        from .parallel.engine import ShardedFiestaPipeline
+        from .parallel.engine import (
+            ShardedFiestaPipeline,
+            ShardedScrollingFiestaPipeline,
+        )
         from .parallel.sharding import make_mesh
 
         n_avail = len(jax.devices())
@@ -317,27 +332,29 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"--devices {args.devices} but only {n_avail} devices "
                 "visible (use --platform cpu for a virtual mesh)")
-        pipe = ShardedFiestaPipeline(
-            cfg, mesh=make_mesh(args.devices),
-            scans_per_tick=args.update_every)
-        print(f"sharded engine: {args.devices}-device X-slab mesh",
-              file=sys.stderr)
+        if cfg.grid_shape[0] % args.devices:
+            raise SystemExit(
+                f"grid X={cfg.grid_shape[0]} must divide by --devices "
+                f"{args.devices} (X-slab sharding)")
+        mesh = make_mesh(args.devices)
+        if args.scrolling:
+            archive = load_archive()
+            pipe = ShardedScrollingFiestaPipeline(
+                cfg, mesh=mesh, scans_per_tick=args.update_every,
+                archive=None if args.resume else archive)
+            if args.resume:
+                pipe.archive = archive
+            print(f"sharded scrolling engine: {args.devices}-device "
+                  "X-slab mesh, unbounded world", file=sys.stderr)
+        else:
+            pipe = ShardedFiestaPipeline(
+                cfg, mesh=mesh, scans_per_tick=args.update_every)
+            print(f"sharded engine: {args.devices}-device X-slab mesh",
+                  file=sys.stderr)
     elif args.scrolling:
         from .scrolling import ScrollingFiestaPipeline
 
-        archive = None
-        if args.persist is not None:
-            import os as _os
-
-            from .archive import TileArchive
-
-            if args.persist and _os.path.exists(args.persist):
-                archive = TileArchive.from_file(args.persist)
-                print(f"loaded archive: {archive.num_tiles} tiles, "
-                      f"{archive.seen_voxels()} seen voxels",
-                      file=sys.stderr)
-            else:
-                archive = TileArchive()
+        archive = load_archive()
         # when resuming, keep the archive OUT of the constructor so
         # _hydrate_from_archive cannot fill the window at anchor 0; no
         # archive operation may run until the resume block below has
@@ -362,6 +379,8 @@ def main(argv=None) -> int:
         if ck_cfg.grid_shape != cfg.grid_shape:
             raise SystemExit("checkpoint grid does not match preset")
         pipe.state = state
+        if hasattr(pipe, "_reshard_state"):
+            pipe._reshard_state()   # sharded engines re-pin layouts
         if args.scrolling:
             anchor = checkpoint.load_anchor(args.resume)
             if anchor is not None:

@@ -575,3 +575,29 @@ def test_sharded_scrolling_archive_matches_single_device():
     np.testing.assert_allclose(np.asarray(sp.query_distance(q)),
                                np.asarray(ref.query_distance(q)),
                                atol=1e-6)
+
+
+def test_cli_devices_scrolling_runs_sharded_unbounded_world():
+    """run.py --devices N --scrolling --persist drives the sharded
+    unbounded persistent world end to end (recenter + archive)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    with tempfile.TemporaryDirectory() as td:
+        persist = os.path.join(td, "world.npz")
+        out = subprocess.run(
+            [sys.executable, "-m", "fiesta_tpu.run", "--preset", "small",
+             "--platform", "cpu", "--devices", "4", "--frames", "12",
+             "--scrolling", "--persist", persist],
+            capture_output=True, text=True, env=env, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "sharded scrolling engine: 4-device" in out.stderr
+        assert "world archive:" in out.stderr
+        assert os.path.exists(persist)
