@@ -110,6 +110,18 @@ class ShardedFiestaPipeline(FiestaPipeline):
                 )
         return last_stats
 
+    def sdf_grid(self):
+        """Signed distance field on the mesh (C18): interior EDT runs
+        shard-locally with X halos; cached per tick like the base class."""
+        if self._sdf_cache is not None and self._sdf_src is self.state.d2:
+            return self._sdf_cache
+        if getattr(self, "_sdf_fn", None) is None:
+            self._sdf_fn = _sharded_sdf(self.cfg, self.mesh)
+        self._sdf_cache = self._sdf_fn(self.state.logodds, self.state.d2,
+                                       self.state.seen)
+        self._sdf_src = self.state.d2
+        return self._sdf_cache
+
     # -- rollout-sharded planning (the full multi-chip control loop) -------
 
     def plan(self, goal, mpc_cfg=None, p0=None, v0=None, nominal=None,
@@ -141,14 +153,21 @@ class ShardedFiestaPipeline(FiestaPipeline):
             self._planner = mpc_mod.make_sharded_planner(
                 self.cfg, mpc_cfg, self.mesh)
             self._planner_cfg = mpc_cfg
-        if getattr(self, "_dist_cache", None) is None:
+        if (getattr(self, "_dist_cache", None) is None
+                or getattr(self, "_dist_cache_signed", None)
+                != mpc_cfg.signed):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # cache a REPLICATED copy: the planner's lookup stage needs
             # the full grid on every device, and caching the x-sharded
-            # array would re-run the all-gather inside every solve
+            # array would re-run the all-gather inside every solve.
+            # Signed planners consume the SDF (C18) instead of the
+            # unsigned distance grid.
+            grid = (self.sdf_grid() if mpc_cfg.signed
+                    else self.distance_grid())
             self._dist_cache = jax.device_put(
-                self.distance_grid(), NamedSharding(self.mesh, P()))
+                grid, NamedSharding(self.mesh, P()))
+            self._dist_cache_signed = mpc_cfg.signed
         h = mpc_cfg.horizon
         return self._planner(
             self._dist_cache,
@@ -234,3 +253,37 @@ class ShardedScrollingFiestaPipeline(ScrollingMixin, ShardedFiestaPipeline):
             # the CURRENT virtual frame; recenter only between ticks
             return False
         return super().maybe_recenter(robot_pos)
+
+
+def _sharded_sdf(cfg, mesh):
+    """Jitted sharded signed-distance derivation (C18 on the mesh): the
+    interior EDT runs shard-locally with the same X halos as the
+    exterior rebuild."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..grid import INF_D2, occupied_grid
+    from ..ops.pallas.edt import trunc_vox_for
+    from ..ops.query import distance_grid
+    from . import sharding as sh
+
+    n = mesh.devices.size
+    t = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
+    inv_local = sh._local_truncated_edt(cfg, n, t)
+    sm = jax.shard_map(
+        lambda free: inv_local(free), mesh=mesh,
+        in_specs=P("x", None, None), out_specs=P("x", None, None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def sdf(logodds, d2, seen):
+        occ = occupied_grid(cfg, logodds)
+        outside = distance_grid(cfg, d2, seen)
+        d2_in = sm(~occ)
+        inside = jnp.minimum(
+            jnp.sqrt(jnp.where(d2_in >= INF_D2, INF_D2,
+                               d2_in).astype(jnp.float32))
+            * cfg.resolution, cfg.trunc_dist)
+        return jnp.where(occ, -inside, outside)
+
+    return sdf

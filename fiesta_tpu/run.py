@@ -638,9 +638,6 @@ def main(argv=None) -> int:
 
         from .planning import mpc as mpc_mod
 
-        if args.sdf and args.devices:
-            raise SystemExit("--sdf planning is single-device (the sharded "
-                             "planner caches the unsigned grid)")
         mpc_cfg = mpc_mod.MPCConfig(signed=args.sdf)
         lo = np.asarray(cfg.origin)
         center = lo + np.asarray(cfg.map_size) / 2

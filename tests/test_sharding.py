@@ -601,3 +601,64 @@ def test_cli_devices_scrolling_runs_sharded_unbounded_world():
         assert "sharded scrolling engine: 4-device" in out.stderr
         assert "world archive:" in out.stderr
         assert os.path.exists(persist)
+
+
+def test_sharded_sdf_matches_single_device():
+    """The sharded signed-distance derivation (interior EDT with X halos)
+    matches query.signed_distance_grid bit-for-bit, and signed planning
+    works through the sharded engine."""
+    import dataclasses
+
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.ops.query import signed_distance_grid
+    from fiesta_tpu.grid import occupied_grid
+    from fiesta_tpu.parallel.engine import ShardedFiestaPipeline
+
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(
+            FiestaConfig(
+                resolution=0.1,
+                origin=(-3.2, -2.0, -1.2),
+                map_size=(6.4, 4.0, 2.4),
+                min_ray_length=0.2,
+                max_ray_length=2.2,
+                trunc_dist=1.2,
+                edt_fine_dist=1.2,
+                esdf_mode="rebuild",
+                signed_needed=True,
+            ), 60, 80),
+        max_points_per_scan=60 * 80,
+    )
+    _, frames = replay.make_sequence(
+        cfg, n_frames=6, n_boxes=6, seed=3, height=60, width=80,
+        orbit_radius=0.8, period=6.0)
+    mesh = sharding.make_mesh(8)
+    pipe = ShardedFiestaPipeline(cfg, mesh=mesh, scans_per_tick=3)
+    for i, (t, (pos, quat), scan) in enumerate(frames):
+        pipe.observe_pose(t, pos, quat)
+        pipe.observe_cloud(t, scan)
+        if i + 1 < len(frames):
+            pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+        else:
+            pipe.observe_pose(t + 1.0, pos, quat)
+        pipe.process()
+        if i % 3 == 2:
+            pipe.update()
+    pipe.update()
+
+    sdf = np.asarray(pipe.sdf_grid())
+    want = np.asarray(signed_distance_grid(
+        cfg, pipe.state.d2, pipe.state.seen,
+        occupied_grid(cfg, pipe.state.logodds)))
+    np.testing.assert_array_equal(sdf, want)
+    occ = np.asarray(occupied_grid(cfg, pipe.state.logodds))
+    assert occ.any() and (sdf[occ] <= 0).all()
+
+    # signed solve through the sharded planner consumes the SDF cache
+    from fiesta_tpu.planning import mpc as mpc_mod
+
+    res = pipe.plan(np.asarray([0.5, 0.5, 0.0]),
+                    mpc_mod.MPCConfig(n_rollouts=64, horizon=6,
+                                      refine_steps=2, signed=True))
+    assert np.asarray(res.controls).shape == (6, 3)
+    assert pipe._dist_cache_signed is True
