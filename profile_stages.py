@@ -150,6 +150,60 @@ def main():
     timed("counter slice RMW packed u16 (3 slices)", slices_packed,
           packed_c)
 
+    # the above two use loop-CONSTANT offsets, which XLA can strengthen;
+    # the production tick's offsets change every tick.  Re-measure with
+    # per-iteration varying starts, plus a union-box variant (accumulate
+    # the K boxes at relative offsets in one padded union, then a single
+    # RMW pair into the full grid).
+    @jax.jit
+    def slices_dyn(hc, mc):
+        def body(i, carry):
+            hcnt, mcnt = carry
+            for k in range(3):
+                s0 = starts[k, 0] + (i % 5)
+                s1, s2 = starts[k, 1], starts[k, 2]
+                reg = jax.lax.dynamic_slice(hcnt, (s0, s1, s2), box)
+                hcnt = jax.lax.dynamic_update_slice(
+                    hcnt, reg + hitc[k], (s0, s1, s2))
+                reg = jax.lax.dynamic_slice(mcnt, (s0, s1, s2), box)
+                mcnt = jax.lax.dynamic_update_slice(
+                    mcnt, reg + missc[k], (s0, s1, s2))
+            return (hcnt, mcnt)
+        hcnt, mcnt = jax.lax.fori_loop(0, R, body, (hc, mc))
+        return hcnt[0, 0, 0] + mcnt[0, 0, 0]
+    timed("counter RMW (6 slices, VARYING offsets)", slices_dyn,
+          state.hit_cnt, state.miss_cnt)
+
+    M = 32
+    ubox = (box[0] + M, box[1] + M, box[2] + M)
+
+    @jax.jit
+    def slices_union(hc, mc):
+        def body(i, carry):
+            hcnt, mcnt = carry
+            base = jnp.minimum(jnp.minimum(starts[0], starts[1]),
+                               starts[2])
+            base = base.at[0].add(i % 5)
+            uh = jnp.zeros(ubox, jnp.uint8)
+            um = jnp.zeros(ubox, jnp.uint8)
+            for k in range(3):
+                at = (starts[k, 0] + (i % 5) - base[0],
+                      starts[k, 1] - base[1], starts[k, 2] - base[2])
+                reg = jax.lax.dynamic_slice(uh, at, box)
+                uh = jax.lax.dynamic_update_slice(uh, reg + hitc[k], at)
+                reg = jax.lax.dynamic_slice(um, at, box)
+                um = jax.lax.dynamic_update_slice(um, reg + missc[k], at)
+            at = (base[0], base[1], base[2])
+            reg = jax.lax.dynamic_slice(hcnt, at, ubox)
+            hcnt = jax.lax.dynamic_update_slice(hcnt, reg + uh, at)
+            reg = jax.lax.dynamic_slice(mcnt, at, ubox)
+            mcnt = jax.lax.dynamic_update_slice(mcnt, reg + um, at)
+            return (hcnt, mcnt)
+        hcnt, mcnt = jax.lax.fori_loop(0, R, body, (hc, mc))
+        return hcnt[0, 0, 0] + mcnt[0, 0, 0]
+    timed("counter RMW (union box, varying offsets)", slices_union,
+          state.hit_cnt, state.miss_cnt)
+
     # ---- stage: fusion ----
     @jax.jit
     def fuse(lo):

@@ -662,3 +662,11 @@ def test_sharded_sdf_matches_single_device():
                                       refine_steps=2, signed=True))
     assert np.asarray(res.controls).shape == (6, 3)
     assert pipe._dist_cache_signed is True
+
+
+def test_sharded_window_hierarchical_combined():
+    """Window mode AND hierarchical EDT together on the mesh (the full
+    demo-preset feature combination) stays bit-exact vs single device."""
+    cfg = _tick_cfg(global_update=False, radius=(1.0, 1.0, 0.6),
+                    trunc_dist=1.6, edt_fine_dist=0.8)
+    _compare_tick(cfg, use_window=True)
