@@ -16,11 +16,13 @@ Differences from the single-device engine (all forced by SPMD mechanics):
   * scans are buffered host-side and integrated at tick time in fixed-size
     groups of ``scans_per_tick`` (static shapes; short groups are padded
     with all-invalid scans, which contribute nothing);
-  * cloud input only (the depth-image consistency filter chains frames,
-    which the scan-sharded carve does not thread through ticks);
+  * depth images back-project + consistency-filter on device at observe
+    time (replicated work, small frames), then buffer as cloud pairs for
+    the sharded tick;
   * rebuild mode (the queue-semantics incremental engine is the
     single-device validation oracle).  Window mode, the hierarchical
-    EDT, and closest tracking all shard (sharding.sharded_fused_tick).
+    EDT, closest tracking, and the signed field all shard
+    (sharding.sharded_fused_tick, _sharded_sdf).
 """
 
 from __future__ import annotations
@@ -55,25 +57,26 @@ class ShardedFiestaPipeline(FiestaPipeline):
 
     # -- ingestion: buffer host-side, integrate at tick time ---------------
 
-    def observe_depth(self, t: float, depth_m) -> None:
-        raise NotImplementedError(
-            "ShardedFiestaPipeline takes cloud input; back-project depth "
-            "images host-side or use the single-device pipeline")
-
     def process(self) -> int:
         n = 0
         for payload, _, pos, quat in self.sync.drain():
             kind, data = payload
-            if kind != "cloud":
-                raise NotImplementedError("cloud input only (see class doc)")
-            if isinstance(data, tuple):
+            transform = self._build_transform(pos, quat)
+            if kind == "depth":
+                # back-project + consistency-filter on device (replicated
+                # work, small images), then buffer the cloud pair for the
+                # sharded tick like any other scan
+                converted = self._convert_depth(data, transform)
+                if converted is None:
+                    continue
+                pts, valid = converted
+            elif isinstance(data, tuple):
                 # preloaded device pair: keep on device (the preload
                 # contract is zero host<->device traffic at stream time)
                 pts, valid = data
             else:
                 pts, valid = self._cloud_to_np(data)
-            self._pending.append(
-                (pts, valid, self._build_transform(pos, quat)))
+            self._pending.append((pts, valid, transform))
             self.cur_pos = self._to_virtual(pos)
             self.new_msg = True
             n += 1

@@ -560,6 +560,50 @@ class FiestaPipeline:
             valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
         return pts, valid
 
+    def _convert_depth(self, data, transform):
+        """Depth image -> padded device (pts, valid) pair, threading the
+        temporal consistency filter chain (C12/C13).  Returns None for the
+        first filtered frame (it yields nothing, Fiesta.h:353)."""
+        cfg = self.cfg
+        self.image_cnt += 1
+        if (np.prod(np.shape(data)) > cfg.max_points_per_scan):
+            raise ValueError(
+                f"depth image {np.shape(data)} exceeds "
+                f"max_points_per_scan={cfg.max_points_per_scan}; "
+                "raise it to H*W (run.py presets do) — silently "
+                "subsampling depth pixels would drop observations")
+        with Timer("depth"):
+            use_filter = (
+                cfg.use_depth_filter
+                and self.image_cnt > 1
+                and self.last_depth is not None
+            )
+            depth = jnp.asarray(data, jnp.float32)
+            pts_cam, valid = depth_to_cloud(
+                cfg,
+                depth,
+                jnp.asarray(transform, jnp.float32),
+                jnp.asarray(
+                    self.last_transform
+                    if self.last_transform is not None
+                    else transform,
+                    jnp.float32,
+                ),
+                # device array cached from the previous frame: no
+                # re-upload of the full image per frame
+                self.last_depth
+                if self.last_depth is not None else depth,
+                use_filter=use_filter,
+            )
+            if cfg.use_depth_filter:
+                self.last_transform = transform
+            self.last_depth = depth
+            if self.image_cnt == 1 and cfg.use_depth_filter:
+                return None  # first frame yields nothing (Fiesta.h:353)
+        # pts_cam/valid are device arrays with static shape: pad on
+        # device (a host round trip here costs a full tunnel RTT)
+        return self._pad_cloud_dev(pts_cam, valid)
+
     def process(self) -> int:
         """Drain synchronized frames through conversion + integration.
 
@@ -572,44 +616,10 @@ class FiestaPipeline:
 
             kind, data = payload
             if kind == "depth":
-                self.image_cnt += 1
-                if (np.prod(np.shape(data)) > cfg.max_points_per_scan):
-                    raise ValueError(
-                        f"depth image {np.shape(data)} exceeds "
-                        f"max_points_per_scan={cfg.max_points_per_scan}; "
-                        "raise it to H*W (run.py presets do) — silently "
-                        "subsampling depth pixels would drop observations")
-                with Timer("depth"):
-                    use_filter = (
-                        cfg.use_depth_filter
-                        and self.image_cnt > 1
-                        and self.last_depth is not None
-                    )
-                    depth = jnp.asarray(data, jnp.float32)
-                    pts_cam, valid = depth_to_cloud(
-                        cfg,
-                        depth,
-                        jnp.asarray(transform, jnp.float32),
-                        jnp.asarray(
-                            self.last_transform
-                            if self.last_transform is not None
-                            else transform,
-                            jnp.float32,
-                        ),
-                        # device array cached from the previous frame: no
-                        # re-upload of the full image per frame
-                        self.last_depth
-                        if self.last_depth is not None else depth,
-                        use_filter=use_filter,
-                    )
-                    if cfg.use_depth_filter:
-                        self.last_transform = transform
-                    self.last_depth = depth
-                    if self.image_cnt == 1 and cfg.use_depth_filter:
-                        continue  # first frame yields nothing (Fiesta.h:353)
-                # pts_cam/valid are device arrays with static shape: pad on
-                # device (a host round trip here costs a full tunnel RTT)
-                pts_j, valid_j = self._pad_cloud_dev(pts_cam, valid)
+                converted = self._convert_depth(data, transform)
+                if converted is None:
+                    continue
+                pts_j, valid_j = converted
             elif isinstance(data, tuple):      # pre-uploaded device pair
                 pts_j, valid_j = data
             else:

@@ -309,10 +309,6 @@ def main(argv=None) -> int:
         if args.method != "scanline":
             raise SystemExit("--devices uses the scanline integrator "
                              f"(got --method {args.method})")
-        if kind == "depth":
-            raise SystemExit("--devices takes cloud input (depth-image "
-                             "replays are single-device; the consistency "
-                             "filter chains frames across ticks)")
         if args.mpc or args.fly:
             from .planning.mpc import MPCConfig
 
@@ -458,10 +454,6 @@ def main(argv=None) -> int:
             )
             print(f"replaying {args.bag}: sensor={sensor_topic} "
                   f"pose={pose_topic}", file=sys.stderr)
-            if (args.devices and rosbag.bag_connections(args.bag)
-                    .get(sensor_topic) == "sensor_msgs/Image"):
-                raise SystemExit("--devices takes cloud input; this bag's "
-                                 "sensor topic is a depth image")
             last_pose = None
             since_update = 0
             for m in rosbag.read_messages(args.bag,

@@ -670,3 +670,60 @@ def test_sharded_window_hierarchical_combined():
     cfg = _tick_cfg(global_update=False, radius=(1.0, 1.0, 0.6),
                     trunc_dist=1.6, edt_fine_dist=0.8)
     _compare_tick(cfg, use_window=True)
+
+
+def test_sharded_pipeline_depth_input():
+    """Depth-image input on the sharded engine: device back-projection +
+    consistency filter at observe time, cloud pairs into the sharded
+    tick.  Must map content and match the single-device depth pipeline's
+    occupancy."""
+    import dataclasses
+
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.parallel.engine import ShardedFiestaPipeline
+    from fiesta_tpu.pipeline import FiestaPipeline
+    from fiesta_tpu.grid import occupied_grid
+
+    h, w = 60, 80
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(
+            FiestaConfig(
+                resolution=0.1,
+                origin=(-3.2, -2.0, -1.2),
+                map_size=(6.4, 4.0, 2.4),
+                min_ray_length=0.2,
+                max_ray_length=2.2,
+                trunc_dist=1.2,
+                edt_fine_dist=1.2,
+                esdf_mode="rebuild",
+            ), h, w),
+        max_points_per_scan=h * w,
+    )
+    _, frames = replay.make_sequence(
+        cfg, n_frames=6, n_boxes=6, seed=3, kind="depth",
+        height=h, width=w, orbit_radius=0.8, period=6.0)
+
+    def drive(pipe):
+        for i, (t, (pos, quat), scan) in enumerate(frames):
+            pipe.observe_pose(t, pos, quat)
+            pipe.observe_depth(t, scan)
+            if i + 1 < len(frames):
+                pipe.observe_pose(frames[i + 1][0], *frames[i + 1][1])
+            else:
+                pipe.observe_pose(t + 1.0, pos, quat)
+            pipe.process()
+            if i % 3 == 2:
+                pipe.update()
+        pipe.update()
+        return pipe
+
+    mesh = sharding.make_mesh(8)
+    sp = drive(ShardedFiestaPipeline(cfg, mesh=mesh, scans_per_tick=3))
+    occ_sh = np.asarray(occupied_grid(cfg, sp.state.logodds))
+    assert occ_sh.any(), "sharded depth pipeline mapped nothing"
+
+    ref = drive(FiestaPipeline(cfg, method="scanline"))
+    occ_ref = np.asarray(occupied_grid(cfg, ref.state.logodds))
+    np.testing.assert_array_equal(occ_sh, occ_ref)
+    np.testing.assert_array_equal(np.asarray(sp.state.d2),
+                                  np.asarray(ref.state.d2))
