@@ -195,9 +195,11 @@ class FiestaConfig:
     # Maintain per-voxel closest-obstacle coordinates in rebuild mode
     # (reference closest_obstacle_, ESDFMap.h:92-96 — always on there).
     # The argmin rides the packed min-plus EDT passes at near-zero extra
-    # cost (ops/pallas/edt.closest_plan documents the int32 bit budget;
-    # grids/truncations that exceed it silently leave `closest` stale, as
-    # round 1 always did — pipeline.rebuild_tracks_closest reports which).
+    # cost (ops/pallas/edt.closest_plan documents the int32 bit budget);
+    # grids/truncations past that budget fall back to the exact two-word
+    # engine (edt.closest_plan_wide) — slower, never stale.  validate()
+    # raises if even the wide form cannot fit (astronomical grids only);
+    # pipeline.rebuild_tracks_closest reports the active engine.
     track_closest: bool = True
 
     # --- TPU-native knobs (no reference analog) ----------------------------
@@ -314,6 +316,27 @@ class FiestaConfig:
             raise ValueError(
                 f"unknown esdf_mode {self.esdf_mode!r} "
                 "(expected 'rebuild' or 'incremental')")
+        if self.track_closest and self.esdf_mode == "rebuild":
+            # the reference maintains closest_obstacle_ unconditionally
+            # (ESDFMap.h:92-96); refuse configs where no engine can, loudly,
+            # instead of leaving state.closest silently stale
+            from .ops.pallas.edt import closest_capability, trunc_vox_for
+
+            t_total = trunc_vox_for(self.resolution, self.trunc_dist)
+            t_fine = trunc_vox_for(self.resolution, self.edt_fine_dist)
+            gshape = self.grid_shape
+            levels = [(gshape, t_total)]
+            if t_fine < t_total and all(g % 2 == 0 for g in gshape):
+                levels = [(gshape, t_fine),
+                          (tuple(g // 2 for g in gshape), -(-t_total // 2))]
+            for shape, t in levels:
+                cap = closest_capability(shape, t)
+                if not (cap["packed"] or cap["wide"]):
+                    raise ValueError(
+                        "closest-obstacle tracking cannot run on this "
+                        f"config ({cap['detail']}); set track_closest="
+                        "False explicitly to opt out of the reference's "
+                        "always-maintained closest_obstacle_")
         if self.max_ray_length + self.resolution >= 1000.0:
             raise ValueError(
                 "max_ray_length must stay below ~1000 m: the carve seed "

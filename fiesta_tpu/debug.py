@@ -37,10 +37,19 @@ def check_consistency(cfg: FiestaConfig, state: MapState) -> bool:
     d2; occupancy checked at BLOCK granularity).
     """
     from .ops.pallas.edt import trunc_vox_for
+    from .pipeline import rebuild_tracks_closest
 
     d2 = np.asarray(state.d2)
     closest = np.asarray(state.closest)
     occ = np.asarray(occupied_grid(cfg, state.logodds))
+
+    if cfg.esdf_mode == "rebuild" and not rebuild_tracks_closest(cfg):
+        # closest is intentionally stale on this config (track_closest off,
+        # or the packed argmin exceeds its bit budget — see
+        # config.closest_capability); only the closest-free invariant holds
+        if occ.any() and not np.all(d2[occ] == 0):
+            raise AssertionError("occupied voxel with nonzero distance")
+        return True
 
     defined = closest[0] >= 0
     if not np.all((d2 < int(INF_D2)) == defined):

@@ -24,7 +24,9 @@ arrays).  Unknown message types are skipped (or surfaced raw on request).
 Supported chunk compressions: ``none``, ``bz2`` (stdlib), and ``lz4``
 (roslz4's standard LZ4-frame chunks, decoded by the pure-Python codec in
 ``io/lz4f.py``) — any bag ``rosbag record``/``compress`` produces replays
-directly.
+directly.  Throughput note: the pure-Python lz4 codec runs at ~1-10 MB/s
+(Python-level loops); install the optional ``lz4`` package to decode
+multi-GB lz4 bags at native speed (io/lz4f.py picks it up automatically).
 """
 
 from __future__ import annotations

@@ -323,7 +323,18 @@ def _minplus_axis(vals: jax.Array, axis: int, chunk: int):
     """
     v = jnp.moveaxis(vals, axis, 0)
     n = v.shape[0]
-    assert n <= _PACK, f"axis {axis} of length {n} exceeds min-plus pack limit"
+    if n > _PACK:
+        # same cliff family as the production closest-tracking bit budget;
+        # report through the one shared capability helper so both paths
+        # fail with the same actionable story
+        from .pallas.edt import closest_capability
+
+        raise ValueError(
+            f"oracle EDT packing (value*{_PACK}+index) cannot represent "
+            f"axis {axis} of length {n}; "
+            + closest_capability(vals.shape, _PACK)["detail"]
+            + " — use ops.pallas.edt.truncated_edt_d2_closest[_wide] "
+            "for large grids")
     rest = v.shape[1:]
     j = jnp.arange(n, dtype=jnp.int32)
     vp = jnp.minimum(v, _INF_EDT) * _PACK + j.reshape((n,) + (1,) * len(rest))

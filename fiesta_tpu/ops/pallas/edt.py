@@ -286,7 +286,10 @@ def truncated_edt_d2(occupied: jax.Array, trunc_vox: int) -> jax.Array:
     p2 = _minplus_pass(clamp(p1).transpose(1, 0, 2), t)       # [Y,X,Z]
     p3 = _minplus_pass(clamp(p2).transpose(2, 1, 0), t)       # [Z,X,Y]
     d2 = p3.transpose(1, 2, 0).astype(jnp.int32)
-    return jnp.where(d2 <= t * t, d2, INF_D2)
+    # min() guard: for t > 1024, t^2 exceeds the internal _INF_EDT clamp
+    # and "no obstacle in window" values would otherwise leak through as
+    # finite 2^20 distances
+    return jnp.where(d2 <= min(t * t, inf - 1), d2, INF_D2)
 
 
 def trunc_vox_for(resolution: float, trunc_dist: float) -> int:
@@ -326,6 +329,15 @@ def trunc_vox_for(resolution: float, trunc_dist: float) -> int:
 # the budget doesn't fit and callers fall back to the d2-only transform.
 
 
+def _axis_layout(shape):
+    """(a_axis, b_axis, c_axis, ba, bb): widest axis is C (pays no payload
+    bits); A/B are the cheap ones."""
+    bits = [max(int(n - 1).bit_length(), 1) for n in shape]
+    c_axis = int(np.argmax(bits))
+    a_axis, b_axis = [i for i in range(3) if i != c_axis]
+    return a_axis, b_axis, c_axis, bits[a_axis], bits[b_axis]
+
+
 def closest_plan(shape, trunc_vox: int):
     """Axis assignment + bit layout for argmin tracking, or None if the
     packed representation cannot fit int32 for this (shape, t)."""
@@ -333,10 +345,7 @@ def closest_plan(shape, trunc_vox: int):
     if t <= 0:
         return None
     cap = t * t + 1                    # "beyond truncation" value sentinel
-    bits = [max(int(n - 1).bit_length(), 1) for n in shape]
-    c_axis = int(np.argmax(bits))      # widest axis pays no payload bits
-    a_axis, b_axis = [i for i in range(3) if i != c_axis]
-    ba, bb = bits[a_axis], bits[b_axis]
+    a_axis, b_axis, c_axis, ba, bb = _axis_layout(shape)
     # two budgets: mid-pass candidates (val up to 2t^2+1 over the payload)
     # and the final pass's single packed output (clamped val | sign | pay)
     vbits = max(int(2 * t * t + 1).bit_length(),
@@ -345,6 +354,53 @@ def closest_plan(shape, trunc_vox: int):
         return None
     return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
                 s=ba + bb, cap=cap, t=t)
+
+
+def closest_plan_wide(shape, trunc_vox: int):
+    """Layout for the two-word (value, payload) closest transform — the
+    fallback when ``closest_plan``'s single-int32 packing does not fit
+    (large grids / truncations).  Value and payload ride separate int32
+    words compared lexicographically, so the only budget left is the
+    payload itself: b*<<ba | a* must fit 31 bits, and 2t^2+1 must fit a
+    value word — both true for any physically plausible grid."""
+    t = int(trunc_vox)
+    if t <= 0:
+        return None
+    a_axis, b_axis, c_axis, ba, bb = _axis_layout(shape)
+    if ba + bb > 31 or 2 * t * t + 1 >= 2**31:
+        return None
+    return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
+                s=ba + bb, cap=t * t + 1, t=t)
+
+
+def closest_capability(shape, trunc_vox: int) -> dict:
+    """THE shared answer to "can closest-obstacle tracking run on this
+    (shape, truncation), and which engine" — used by config.validate(),
+    pipeline.rebuild_tracks_closest, and the oracle's pack check so every
+    path fails (or falls back) with the same story.
+
+    Returns dict(packed=bool, wide=bool, oracle=bool, detail=str):
+      packed — single-int32 packed argmin (Pallas production path);
+      wide   — two-word XLA fallback (exact, slower);
+      oracle — ops.esdf.build_esdf's value*512+index packing (axes <= 512).
+    """
+    t = int(trunc_vox)
+    packed = closest_plan(shape, t) is not None
+    wide = closest_plan_wide(shape, t) is not None
+    oracle = max(shape) <= 512
+    a_axis, b_axis, c_axis, ba, bb = _axis_layout(shape)
+    vbits = max(int(2 * t * t + 1).bit_length(),
+                int(t * t + 1).bit_length() + 1) if t > 0 else 0
+    detail = (
+        f"shape={tuple(shape)} t={t}: packed argmin needs value {vbits} "
+        f"+ payload {ba}+{bb} = {vbits + ba + bb} bits of int32 "
+        f"(limit 31) -> {'fits' if packed else 'does not fit'}; "
+        f"two-word fallback needs payload {ba + bb} <= 31 -> "
+        f"{'fits' if wide else 'does not fit'}; "
+        f"oracle packing needs max axis {max(shape)} <= 512 -> "
+        f"{'fits' if oracle else 'does not fit'}"
+    )
+    return dict(packed=packed, wide=wide, oracle=oracle, detail=detail)
 
 
 def _shift_lead(x: jax.Array, k: int, fill) -> jax.Array:
@@ -682,35 +738,14 @@ def unpack_split(vps: jax.Array, plan):
     return val, sign, bstar, astar
 
 
-@partial(jax.jit, static_argnames=("trunc_vox", "interpret"))
-def truncated_edt_d2_closest(
-    occupied: jax.Array, trunc_vox: int, interpret: bool = False
-):
-    """Exact truncated squared EDT *with* per-voxel closest-obstacle coords.
-
-    Returns (d2 int32 [X,Y,Z], closest int16 [3,X,Y,Z]); closest reads
-    UNDEFINED_COORD (-1) wherever d2 == INF_D2.  Identical d2 to
-    ``truncated_edt_d2``.  Requires ``closest_plan(shape, trunc_vox)`` to
-    fit; callers gate on it.
-    """
+def _reconstruct_closest(shape, plan, val, sign, bstar, astar):
+    """Shared final decode: recover c* arithmetically from the winning
+    (val, a*, b*) + sign, assemble (d2, closest) in natural [X,Y,Z] order.
+    Inputs are int32 arrays already in natural [X,Y,Z] layout."""
     from ...grid import UNDEFINED_COORD
 
-    plan = closest_plan(occupied.shape, trunc_vox)
-    assert plan is not None, (
-        f"closest tracking unsupported for shape={occupied.shape} "
-        f"t={trunc_vox}: packed argmin exceeds int32")
-    t, ba, bb, s = plan["t"], plan["ba"], plan["bb"], plan["s"]
+    t = plan["t"]
     a_ax, b_ax, c_ax = plan["a"], plan["b"], plan["c"]
-
-    occ_t = occupied.transpose(a_ax, b_ax, c_ax).astype(jnp.uint8)
-    vps = _closest_passes(occ_t, plan, interpret)           # [C,A,B]
-
-    # back to natural [X,Y,Z]: current layout axes are (c_ax, a_ax, b_ax)
-    inv = tuple(int(i) for i in np.argsort((c_ax, a_ax, b_ax)))
-    vps = vps.transpose(inv)
-
-    shape = occupied.shape
-    val, sign, bstar, astar = unpack_split(vps, plan)
     ia = jax.lax.broadcasted_iota(jnp.int32, shape, a_ax)
     ib = jax.lax.broadcasted_iota(jnp.int32, shape, b_ax)
     ic = jax.lax.broadcasted_iota(jnp.int32, shape, c_ax)
@@ -731,6 +766,174 @@ def truncated_edt_d2_closest(
     return d2, closest
 
 
+@partial(jax.jit, static_argnames=("trunc_vox", "interpret"))
+def truncated_edt_d2_closest(
+    occupied: jax.Array, trunc_vox: int, interpret: bool = False
+):
+    """Exact truncated squared EDT *with* per-voxel closest-obstacle coords.
+
+    Returns (d2 int32 [X,Y,Z], closest int16 [3,X,Y,Z]); closest reads
+    UNDEFINED_COORD (-1) wherever d2 == INF_D2.  Identical d2 to
+    ``truncated_edt_d2``.  Requires ``closest_plan(shape, trunc_vox)`` to
+    fit; callers gate on it.
+    """
+    plan = closest_plan(occupied.shape, trunc_vox)
+    assert plan is not None, (
+        f"closest tracking unsupported for shape={occupied.shape} "
+        f"t={trunc_vox}: packed argmin exceeds int32 "
+        "(use truncated_edt_d2_closest_wide)")
+    a_ax, b_ax, c_ax = plan["a"], plan["b"], plan["c"]
+
+    occ_t = occupied.transpose(a_ax, b_ax, c_ax).astype(jnp.uint8)
+    vps = _closest_passes(occ_t, plan, interpret)           # [C,A,B]
+
+    # back to natural [X,Y,Z]: current layout axes are (c_ax, a_ax, b_ax)
+    inv = tuple(int(i) for i in np.argsort((c_ax, a_ax, b_ax)))
+    vps = vps.transpose(inv)
+
+    val, sign, bstar, astar = unpack_split(vps, plan)
+    return _reconstruct_closest(occupied.shape, plan, val, sign, bstar,
+                                astar)
+
+
+# ---------------------------------------------------------------------------
+# Wide (two-word) closest fallback — exact on grids where the single-int32
+# packing cannot fit (the reference maintains closest_obstacle_
+# UNCONDITIONALLY, ESDFMap.h:92-96; round 2 left it stale past the bit
+# budget).  Value and payload ride separate int32 arrays, min'd
+# lexicographically — identical tie-break order to the packed path, so the
+# two engines are bit-identical wherever both are defined.  ~2x the VPU
+# ops of the packed path and XLA-lowered (shift chains), so the packed
+# Pallas path stays the production default.
+# ---------------------------------------------------------------------------
+
+
+def _pair_min(h1, l1, h2, l2):
+    """Lexicographic (value, payload) pair min — the two-word analog of
+    integer min on val<<s | payload."""
+    take2 = (h2 < h1) | ((h2 == h1) & (l2 < l1))
+    return jnp.where(take2, h2, h1), jnp.where(take2, l2, l1)
+
+
+def _binary_pair_xla(occ, plan):
+    """Binary first pass, pair form: returns (val, a*) along leading axis."""
+    a = occ.shape[0]
+    t = min(plan["t"], a - 1)
+    cap = plan["cap"]
+    l1inf = np.int32(t + 1)
+    iota = jnp.arange(a, dtype=jnp.int32).reshape(
+        (a,) + (1,) * (occ.ndim - 1))
+    hi = jnp.where(occ > 0, np.int32(0), l1inf)
+    lo = jnp.broadcast_to(iota, occ.shape).astype(jnp.int32)
+    s, reach = 1, 0
+    while reach < t:
+        for sh in (-s, s):
+            h2 = _shift_lead(hi, sh, l1inf) + np.int32(s)
+            l2 = _shift_lead(lo, sh, np.int32(0))
+            hi, lo = _pair_min(hi, lo, h2, l2)
+        reach += s
+        s *= 2
+    hi = jnp.where(hi > t, np.int32(cap), hi * hi)
+    return hi, lo
+
+
+def _pad_lead(x, t: int, fill):
+    """Pad the leading axis by ``t`` on both sides with ``fill``."""
+    widths = ((t, t),) + ((0, 0),) * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=np.int32(fill))
+
+
+def _window_pair_xla(hi, lo, plan):
+    """Paired window pass, pair form: payload grows to b*<<ba | a*.
+
+    ``fori_loop`` over window offsets (not a Python unroll): t can reach
+    the grid diameter here, and an unrolled concat chain of that length
+    sends XLA's CPU compile superlinear (observed: minutes at t~1500)."""
+    b = hi.shape[0]
+    t = min(plan["t"], b - 1)
+    ba, cap = plan["ba"], plan["cap"]
+    iota = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (hi.ndim - 1))
+    lo = (iota << ba) | lo
+    hip = _pad_lead(hi, t, cap)
+    lop = _pad_lead(lo, t, 0)
+
+    def body(d, acc):
+        acc_h, acc_l = acc
+        k = d - t
+        h2 = jax.lax.dynamic_slice_in_dim(hip, d, b, 0) + k * k
+        l2 = jax.lax.dynamic_slice_in_dim(lop, d, b, 0)
+        return _pair_min(acc_h, acc_l, h2, l2)
+
+    acc_h, acc_l = jax.lax.fori_loop(0, 2 * t + 1, body, (hi, lo))
+    return jnp.minimum(acc_h, np.int32(cap)), acc_l
+
+
+def _split_pair_xla(hi, lo, plan):
+    """Split-sign final pass, pair form: returns (val, sign, payload)."""
+    c = hi.shape[0]
+    t = min(plan["t"], c - 1)
+    cap = plan["cap"]
+    hip = _pad_lead(hi, t, cap)
+    lop = _pad_lead(lo, t, 0)
+
+    def body(k, acc):
+        an_h, an_l, ap_h, ap_l = acc
+        kk = k * k
+        h2 = jax.lax.dynamic_slice_in_dim(hip, t - k, c, 0) + kk
+        l2 = jax.lax.dynamic_slice_in_dim(lop, t - k, c, 0)
+        an_h, an_l = _pair_min(an_h, an_l, h2, l2)
+        h2 = jax.lax.dynamic_slice_in_dim(hip, t + k, c, 0) + kk
+        l2 = jax.lax.dynamic_slice_in_dim(lop, t + k, c, 0)
+        ap_h, ap_l = _pair_min(ap_h, ap_l, h2, l2)
+        return an_h, an_l, ap_h, ap_l
+
+    an_h, an_l, ap_h, ap_l = jax.lax.fori_loop(
+        1, t + 1, body, (hi, lo, hi, lo))
+    use_p = ap_h < an_h
+    val = jnp.minimum(jnp.minimum(an_h, ap_h), np.int32(cap))
+    pay = jnp.where(use_p, ap_l, an_l)
+    return val, use_p.astype(jnp.int32), pay
+
+
+@partial(jax.jit, static_argnames=("trunc_vox",))
+def truncated_edt_d2_closest_wide(occupied: jax.Array, trunc_vox: int):
+    """Exact truncated EDT + closest on grids past the int32 packing budget
+    (e.g. 512^3 at t=100).  Same return contract and identical results to
+    ``truncated_edt_d2_closest`` where both are defined."""
+    plan = closest_plan_wide(occupied.shape, trunc_vox)
+    assert plan is not None, (
+        f"closest tracking unsupported even in wide form for "
+        f"shape={occupied.shape} t={trunc_vox}: "
+        + closest_capability(occupied.shape, trunc_vox)["detail"])
+    ba, a_ax, b_ax, c_ax = plan["ba"], plan["a"], plan["b"], plan["c"]
+
+    occ_t = occupied.transpose(a_ax, b_ax, c_ax).astype(jnp.uint8)
+    hi, lo = _binary_pair_xla(occ_t, plan)                       # [A,B,C]
+    hi, lo = _window_pair_xla(hi.transpose(1, 0, 2),
+                              lo.transpose(1, 0, 2), plan)       # [B,A,C]
+    val, sign, pay = _split_pair_xla(hi.transpose(2, 1, 0),
+                                     lo.transpose(2, 1, 0), plan)  # [C,A,B]
+
+    inv = tuple(int(i) for i in np.argsort((c_ax, a_ax, b_ax)))
+    val = val.transpose(inv)
+    sign = sign.transpose(inv)
+    pay = pay.transpose(inv)
+    bstar = pay >> ba
+    astar = pay & ((1 << ba) - 1)
+    return _reconstruct_closest(occupied.shape, plan, val, sign, bstar,
+                                astar)
+
+
+def edt_closest_auto(occupied, trunc_vox: int, interpret: bool = False):
+    """Dispatch one truncated EDT+closest level: the packed Pallas path
+    when the int32 budget fits, else the exact two-word wide fallback
+    (identical results; see closest_capability)."""
+    if closest_plan(occupied.shape, trunc_vox) is not None:
+        return truncated_edt_d2_closest(occupied, trunc_vox, interpret)
+    return truncated_edt_d2_closest_wide(occupied, trunc_vox)
+
+
 @partial(jax.jit, static_argnames=("t_fine", "t_total", "interpret"))
 def hierarchical_edt_d2_closest(
     occupied: jax.Array, t_fine: int, t_total: int, interpret: bool = False
@@ -745,14 +948,14 @@ def hierarchical_edt_d2_closest(
     gx, gy, gz = occupied.shape
     assert gx % 2 == 0 and gy % 2 == 0 and gz % 2 == 0
 
-    fine_d2, fine_cl = truncated_edt_d2_closest(occupied, t_fine, interpret)
+    fine_d2, fine_cl = edt_closest_auto(occupied, t_fine, interpret)
 
     if jax.default_backend() == "tpu" and not interpret:
         occ_c = _downsample2_any(occupied)
     else:
         occ_c = occupied.reshape(gx // 2, 2, gy // 2, 2, gz // 2, 2).any(
             axis=(1, 3, 5))
-    d2c, clc = truncated_edt_d2_closest(occ_c, -(-t_total // 2), interpret)
+    d2c, clc = edt_closest_auto(occ_c, -(-t_total // 2), interpret)
     d2c = jnp.where(d2c >= INF_D2, INF_D2, d2c * 4)
     up = jnp.repeat(jnp.repeat(jnp.repeat(d2c, 2, 0), 2, 1), 2, 2)
     clc2 = jnp.where(clc < 0, jnp.int16(UNDEFINED_COORD),

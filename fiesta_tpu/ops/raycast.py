@@ -629,6 +629,13 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins):
     bx, by, bz = _carve_box_shape(cfg)
     nb = bx * by * bz
     k = points.shape[0]
+    if k * nb >= 2**31:
+        # the flat scatter index k*nb + lin_w is int32; past 2^31 it wraps
+        # negative and mode="drop" silently discards those observations
+        raise ValueError(
+            f"flat endpoint splat index overflows int32: {k} scans x "
+            f"{nb} box voxels = {k * nb} >= 2^31; reduce scans_per_tick "
+            "or the carve box (max_ray_length/resolution)")
     starts, po_box, lin_w, packed_val, rvalid = jax.vmap(
         lambda p, v, o: _scanline_seeds_prep(cfg, p, v, o)
     )(points, valid, origins)

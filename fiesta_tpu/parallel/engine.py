@@ -111,6 +111,11 @@ class ShardedFiestaPipeline(FiestaPipeline):
                     self.state, pts, valids, tfs,
                     jnp.asarray(self.cur_pos, jnp.float32),
                 )
+        if self.cfg.signed_needed:
+            # per-tick SDF maintenance, matching the single-device engine's
+            # contract (pipeline.update / the --sdf CLI help); async
+            # dispatch — sdf_grid caches on the new d2's identity
+            self.sdf_grid()
         return last_stats
 
     def sdf_grid(self):

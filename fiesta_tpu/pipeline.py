@@ -124,11 +124,21 @@ def _sdf_from_state(cfg: FiestaConfig, state: MapState) -> jax.Array:
     return signed_distance_grid(cfg, state.d2, state.seen, occ)
 
 
+def _closest_ok(shape, t) -> bool:
+    """Packed (production) or wide (fallback) closest engine available."""
+    from .ops.pallas.edt import closest_plan, closest_plan_wide
+
+    return (closest_plan(shape, t) is not None
+            or closest_plan_wide(shape, t) is not None)
+
+
 def rebuild_tracks_closest(cfg: FiestaConfig) -> bool:
     """Whether the rebuild tick maintains ``state.closest`` (reference
     closest_obstacle_, ESDFMap.h:92-96): requires ``cfg.track_closest``
-    and the packed-argmin bit budget to fit this grid (edt.closest_plan)."""
-    from .ops.pallas.edt import closest_plan, trunc_vox_for
+    and either the packed-argmin int32 budget (edt.closest_plan, the
+    Pallas production path) or the two-word wide fallback
+    (edt.closest_plan_wide — exact, slower; large grids)."""
+    from .ops.pallas.edt import trunc_vox_for
 
     if not cfg.track_closest:
         return False
@@ -137,20 +147,24 @@ def rebuild_tracks_closest(cfg: FiestaConfig) -> bool:
     gshape = cfg.grid_shape
     if t_fine < t_total and all(g % 2 == 0 for g in gshape):
         coarse = tuple(g // 2 for g in gshape)
-        return (closest_plan(gshape, t_fine) is not None
-                and closest_plan(coarse, -(-t_total // 2)) is not None)
-    return closest_plan(gshape, t_total) is not None
+        return (_closest_ok(gshape, t_fine)
+                and _closest_ok(coarse, -(-t_total // 2)))
+    return _closest_ok(gshape, t_total)
+
+
 
 
 def rebuild_esdf(cfg: FiestaConfig, occupied: jax.Array):
     """EDT rebuild returning (d2, closest-or-None).  With closest tracking
     (the default, matching the reference's always-maintained
     closest_obstacle_) the argmin rides the same packed min-plus passes;
-    see ops/pallas/edt.truncated_edt_d2_closest."""
+    see ops/pallas/edt.truncated_edt_d2_closest.  Grids past the int32
+    packing budget fall back to the exact two-word engine
+    (edt.truncated_edt_d2_closest_wide) instead of going stale."""
     from .ops.pallas.edt import (
+        edt_closest_auto,
         hierarchical_edt_d2_closest,
         trunc_vox_for,
-        truncated_edt_d2_closest,
     )
 
     if not rebuild_tracks_closest(cfg):
@@ -160,7 +174,7 @@ def rebuild_esdf(cfg: FiestaConfig, occupied: jax.Array):
     gshape = cfg.grid_shape
     if t_fine < t_total and all(g % 2 == 0 for g in gshape):
         return hierarchical_edt_d2_closest(occupied, t_fine, t_total)
-    return truncated_edt_d2_closest(occupied, t_total)
+    return edt_closest_auto(occupied, t_total)
 
 
 rebuild_esdf_jit = partial(jax.jit, static_argnames=("cfg",))(rebuild_esdf)

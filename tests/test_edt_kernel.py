@@ -181,3 +181,62 @@ def test_hierarchical_edt_closest():
         assert block_occ[cx // 2, cy // 2, cz // 2].all()
     # definedness matches d2 everywhere
     assert np.array_equal(closest[0] >= 0, d2 < int(INF_D2))
+
+
+# ---------------------------------------------------------------------------
+# Wide (two-word) closest fallback — the big-grid engine (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed,p,t", [(0, 0.01, 8), (1, 0.05, 6),
+                                      (3, 0.3, 5)])
+def test_wide_closest_bit_identical_to_packed(seed, p, t):
+    """Where both engines are defined they must agree BIT-EXACTLY (same
+    lexicographic tie-break order by construction)."""
+    shape = (40, 32, 24)
+    rng = np.random.default_rng(seed)
+    occ = rng.random(shape) < p
+    d2p, clp = edt.truncated_edt_d2_closest(jnp.asarray(occ), t)
+    d2w, clw = edt.truncated_edt_d2_closest_wide(jnp.asarray(occ), t)
+    np.testing.assert_array_equal(np.asarray(d2p), np.asarray(d2w))
+    np.testing.assert_array_equal(np.asarray(clp), np.asarray(clw))
+
+
+def test_wide_closest_past_int32_budget():
+    """A (shape, t) the packed plan REFUSES (value+payload bits > 31) still
+    gets exact d2 + closest through the wide fallback."""
+    # bits [6,6,3] -> c=axis0 (64), payload ba=6 bb=3; t=1500 -> vbits =
+    # bits(2*1500^2+1) = 23 -> 23+9 = 32 > 31 refused; per-pass taps clamp
+    # to axis-1 so the compute stays small (t past the grid diameter =
+    # untruncated, the regime the budget actually breaks in)
+    shape = (64, 48, 8)
+    t = 1500
+    assert edt.closest_plan(shape, t) is None
+    assert edt.closest_plan_wide(shape, t) is not None
+    rng = np.random.default_rng(11)
+    occ = rng.random(shape) < 0.0005
+    d2, closest = edt.truncated_edt_d2_closest_wide(jnp.asarray(occ), t)
+    np.testing.assert_array_equal(
+        np.asarray(d2), np.asarray(edt.truncated_edt_d2(jnp.asarray(occ), t)))
+    _check_closest(occ, t, d2, closest)
+
+
+def test_closest_capability_report():
+    cap = edt.closest_capability((400, 400, 80), 100)
+    assert cap["packed"] and cap["wide"] and cap["oracle"]
+    cap = edt.closest_capability((512, 512, 512), 100)
+    assert not cap["packed"] and cap["wide"] and cap["oracle"]
+    assert "does not fit" in cap["detail"]
+    cap = edt.closest_capability((1024, 512, 512), 100)
+    assert not cap["oracle"]
+
+
+def test_edt_closest_auto_dispatch():
+    """edt_closest_auto picks packed when it fits, wide when it does not,
+    and both contracts hold."""
+    rng = np.random.default_rng(13)
+    occ_small = rng.random((40, 32, 24)) < 0.02
+    d2a, cla = edt.edt_closest_auto(jnp.asarray(occ_small), 8)
+    d2p, clp = edt.truncated_edt_d2_closest(jnp.asarray(occ_small), 8)
+    np.testing.assert_array_equal(np.asarray(d2a), np.asarray(d2p))
+    np.testing.assert_array_equal(np.asarray(cla), np.asarray(clp))

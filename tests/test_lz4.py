@@ -154,3 +154,40 @@ def test_empty_frame_has_no_data_blocks():
     (first_word,) = struct.unpack_from("<I", frame, 7)
     assert first_word == 0          # EndMark immediately
     assert lz4f.decompress_frame(frame) == b""
+
+
+# --- linked-block frames (FLG bit 5 clear) ----------------------------------
+
+
+def test_block_decode_with_prefix_history():
+    """Matches may reach back into the caller-supplied history window."""
+    hist = b"0123456789ABCDEF"
+    # 0 literals, match len 10 (token 0x06), offset 16 -> starts at hist[0];
+    # then final 5 literals
+    blk = b"\x06" + struct.pack("<H", 16) + b"\x50WORLD"
+    assert lz4f.decompress_block(blk, prefix=hist) == b"0123456789WORLD"
+    # match crossing from history into this block's own output:
+    # 2 literals "xy", then match offset 4 (reaches 2 bytes into hist,
+    # then 2 bytes of own output), len 4 (token low nibble 0)
+    blk2 = b"\x20xy" + struct.pack("<H", 4) + b"\x50ABCDE"
+    assert lz4f.decompress_block(blk2, prefix=hist) == b"xyEFxyABCDE"
+    # without history the same block must fail loudly
+    with pytest.raises(lz4f.LZ4Error):
+        lz4f.decompress_block(blk)
+
+
+def test_linked_block_frame_decodes():
+    """Hand-built conformant linked-block frame (block 2's match references
+    block 1's output through the inter-block history window)."""
+    flg = 0x40                # version 01, linked blocks, no checksums
+    bd = 0x40                 # 64 KiB max block size
+    header = bytes([flg, bd])
+    hc = (lz4f.xxh32(header) >> 8) & 0xFF
+    blk1 = b"\xf0\x01" + b"0123456789ABCDEF"      # 16 literals
+    blk2 = b"\x06" + struct.pack("<H", 16) + b"\x50WORLD"
+    frame = (struct.pack("<I", lz4f.MAGIC) + header + bytes([hc])
+             + struct.pack("<I", len(blk1)) + blk1
+             + struct.pack("<I", len(blk2)) + blk2
+             + struct.pack("<I", 0))
+    assert lz4f.decompress_frame(frame) == \
+        b"0123456789ABCDEF" + b"0123456789WORLD"
