@@ -640,22 +640,32 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         check_vma=False,  # pallas_call inside shard_map has no vma info
     )
 
+    sk_sh = NamedSharding(mesh, P("x", None, None))
+    skv_sh = NamedSharding(mesh, P("x", None))
+
     @partial(jax.jit, donate_argnames=("state",))
     def step(state: MapState, points, valids, transforms, cur_pos):
         k = points.shape[0]
         k_pad = -k % n
         if k_pad:
             # padding scans are all-invalid: they run (fixed shapes) but
-            # contribute nothing
-            points = jnp.concatenate(
-                [points, jnp.zeros((k_pad,) + points.shape[1:],
-                                   points.dtype)])
-            valids = jnp.concatenate(
-                [valids, jnp.zeros((k_pad,) + valids.shape[1:], bool)])
-            transforms = jnp.concatenate(
-                [transforms,
-                 jnp.broadcast_to(jnp.eye(4, dtype=transforms.dtype),
-                                  (k_pad, 4, 4))])
+            # contribute nothing.  The concatenated result is pinned to
+            # the scan-axis sharding the shard_map consumes — without the
+            # pin GSPMD back-propagates the K-sharding onto the constant
+            # pad operands (degenerate [n,1,1] tilings of tiny arrays) and
+            # logs "Involuntary full rematerialization" for each
+            rep = NamedSharding(mesh, P())
+
+            def pad_k(x, fill, sh):
+                z = jax.lax.with_sharding_constraint(
+                    jnp.broadcast_to(fill, (k_pad,) + x.shape[1:]), rep)
+                return jax.lax.with_sharding_constraint(
+                    jnp.concatenate([x, z]), sh)
+
+            points = pad_k(points, jnp.float32(0), sk_sh)
+            valids = pad_k(valids, jnp.bool_(False), skv_sh)
+            transforms = pad_k(transforms, jnp.eye(4, dtype=transforms.dtype),
+                               sk_sh)
         lo, seen, hit, miss, d2, closest, stats = sm(
             state.logodds, state.seen, state.hit_cnt, state.miss_cnt,
             state.d2, state.closest, points, valids, transforms,
