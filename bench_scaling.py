@@ -215,7 +215,19 @@ def main():
     # (total bytes moved per tick across the mesh)
     t_vox = int(np.ceil(cfg.trunc_dist / cfg.resolution))
     gy, gz = cfg.grid_shape[1], cfg.grid_shape[2]
-    model_halo = 8 * 2 * t_vox * gy * gz * 4
+    # composable x-pass (round-3 redesign): per device the L1 edge
+    # composition ships one [Y,Z] i32 plane per doubling hop per
+    # direction (offsets 1,2,4.. up to H=(t-1)//lx+1) plus the final
+    # e_prev/f_next neighbor fetch -> (2*hops + 2) planes, vs the old
+    # halo design's 2*T planes
+    lx8 = cfg.grid_shape[0] // 8
+    h_need = min(7, (t_vox - 1) // lx8 + 1)
+    hops = 0
+    j = 1
+    while j <= h_need:
+        hops += 1
+        j *= 2
+    model_halo = 8 * (2 * hops + 2) * gy * gz * 4
     # the HLO is SPMD: every listed collective executes on each of the 8
     # devices, so mesh-total traffic = per-device op bytes * 8
     audit_total = {k: v * 8 for k, v in hlo_audit.items()}
@@ -236,7 +248,7 @@ def main():
             str(n): round(n * weak_t[1] / weak_t[n], 3) for n in (2, 4, 8)},
         "hlo_collective_bytes_per_device_n8": hlo_audit,
         "hlo_collective_bytes_mesh_total_n8": audit_total,
-        "model_edt_halo_bytes_n8": model_halo,
+        "model_edt_compose_bytes_n8": model_halo,
         "note": ("shared-core virtual mesh: wall(n)/wall(1) = total-work "
                  "inflation; real-chip efficiency ~ 1/inflation + ICI "
                  "(audited via HLO bytes)"),

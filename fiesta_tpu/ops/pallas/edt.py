@@ -151,7 +151,8 @@ def _minplus_pass_pallas(f: jax.Array, t: int,
 
 
 def _binary_pass_pallas(f: jax.Array, t: int,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        square: bool = True) -> jax.Array:
     """First min-plus pass specialized to BINARY input (0 / INF).
 
     For binary seeds the parabola pass equals (L1 distance to the nearest
@@ -159,11 +160,20 @@ def _binary_pass_pallas(f: jax.Array, t: int,
     unlike the parabola, composes: applying shifts 1, 2, 4, ... 2^k covers
     every offset up to 2^(k+1)-1 (binary decomposition).  O(log t) doubling
     steps instead of t window steps.
+
+    ``square=False`` emits the RAW L1 distance (clamped to t+1) instead of
+    the squared/truncated form — the composable quantity the sharded
+    engine exchanges across shard boundaries (see
+    parallel/sharding._compose_l1_x) before squaring.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     a, m, l = f.shape
+    # sent: "no seed within t" sentinel for the raw form — the CALLER's t,
+    # not the axis-clamped reach (a shard narrower than t must not report
+    # its clamped reach as a genuine distance; sharding composition bug)
+    sent = t + 1
     t = min(t, a - 1)
     shifts = []
     s, reach = 1, 0
@@ -192,14 +202,18 @@ def _binary_pass_pallas(f: jax.Array, t: int,
 
         blk = f_ref[:, :]
         all_far = jnp.min(blk) >= np.int32(_INF_EDT)  # no seed: skip
+        far_out = np.int32(_INF_EDT if square else sent)
 
         @pl.when(all_far)
         def _():
-            out_ref[:, :] = jnp.full((a, bl), _INF_EDT, jnp.int32)
+            out_ref[:, :] = jnp.full((a, bl), far_out, jnp.int32)
 
         @pl.when(jnp.logical_not(all_far))
         def _():
-            buf[pl.ds(pad, a), :] = blk
+            # clamp the in-kernel working values to the LOCAL reach +1 so
+            # additions stay small; positions past the local reach emit
+            # the caller-level sentinel below
+            buf[pl.ds(pad, a), :] = jnp.minimum(blk, np.int32(t + 1))
             for sh in shifts:
                 g = buf[pl.ds(pad, a), :]
                 lo = buf[pl.ds(pad - sh, a), :]
@@ -207,7 +221,10 @@ def _binary_pass_pallas(f: jax.Array, t: int,
                 buf[pl.ds(pad, a), :] = jnp.minimum(
                     g, jnp.minimum(lo, hi) + sh)
             d = buf[pl.ds(pad, a), :]
-            out_ref[:, :] = jnp.where(d > t, _INF_EDT, d * d)
+            if square:
+                out_ref[:, :] = jnp.where(d > t, _INF_EDT, d * d)
+            else:
+                out_ref[:, :] = jnp.where(d > t, np.int32(sent), d)
 
     out = pl.pallas_call(
         kernel,
@@ -256,6 +273,34 @@ def binary_pass(f: jax.Array, t: int) -> jax.Array:
         return _binary_pass_pallas(f, t)
     p = _minplus_pass_xla(f, t)
     return jnp.where(p > t * t, _INF_EDT, p)
+
+
+def l1_pass(f: jax.Array, t: int) -> jax.Array:
+    """Raw truncated L1 distance along the leading axis of a binary
+    (0 / _INF_EDT) volume: values in [0, t+1], where t+1 means "no seed
+    within t".  This is the COMPOSABLE form of the binary pass — shard
+    boundaries exchange O(log) accumulated edge planes instead of T raw
+    input planes (parallel/sharding._compose_l1_x), then square with
+    ``square_l1``."""
+    if jax.default_backend() == "tpu":
+        return _binary_pass_pallas(f, t, square=False)
+    sent = np.int32(t + 1)
+    tl = min(t, f.shape[0] - 1)         # local reach; sentinel keeps t
+    d = jnp.minimum(f, np.int32(tl + 1)).astype(jnp.int32)
+    s, reach = 1, 0
+    while reach < tl:
+        lo = _shift_lead(d, -s, np.int32(tl + 1))
+        hi = _shift_lead(d, s, np.int32(tl + 1))
+        d = jnp.minimum(d, jnp.minimum(lo, hi) + np.int32(s))
+        reach += s
+        s *= 2
+    return jnp.where(d > tl, sent, d)
+
+
+def square_l1(d: jax.Array, t: int) -> jax.Array:
+    """(raw L1, possibly composed across shards) -> squared/truncated form
+    matching ``binary_pass`` output."""
+    return jnp.where(d > t, np.int32(_INF_EDT), d * d)
 
 
 @partial(jax.jit, static_argnames=("trunc_vox",))
@@ -329,13 +374,23 @@ def trunc_vox_for(resolution: float, trunc_dist: float) -> int:
 # the budget doesn't fit and callers fall back to the d2-only transform.
 
 
-def _axis_layout(shape):
-    """(a_axis, b_axis, c_axis, ba, bb): widest axis is C (pays no payload
-    bits); A/B are the cheap ones."""
+def _axis_layouts(shape):
+    """Candidate (a_axis, b_axis, c_axis) assignments, preferred first.
+
+    The X-LEAD layout (a = axis 0) comes first: the sharded engine shards
+    axis 0, and with the binary/L1 pass leading on it, cross-shard
+    propagation composes through log-hop EDGE planes instead of T-plane
+    value halos (parallel/sharding._compose_l1_x).  C is then the widest
+    of the remaining axes (pays no payload bits).  The widest-C layout is
+    the fallback when the x-lead budget does not fit int32."""
     bits = [max(int(n - 1).bit_length(), 1) for n in shape]
-    c_axis = int(np.argmax(bits))
-    a_axis, b_axis = [i for i in range(3) if i != c_axis]
-    return a_axis, b_axis, c_axis, bits[a_axis], bits[b_axis]
+    c_of_rest = 1 if bits[1] >= bits[2] else 2
+    xlead = (0, 3 - c_of_rest, c_of_rest)
+    c_w = int(np.argmax(bits))
+    rest = [i for i in range(3) if i != c_w]
+    widest = (rest[0], rest[1], c_w)
+    layouts = [xlead] if xlead == widest else [xlead, widest]
+    return [(a, b, c, bits[a], bits[b]) for a, b, c in layouts]
 
 
 def closest_plan(shape, trunc_vox: int):
@@ -345,15 +400,15 @@ def closest_plan(shape, trunc_vox: int):
     if t <= 0:
         return None
     cap = t * t + 1                    # "beyond truncation" value sentinel
-    a_axis, b_axis, c_axis, ba, bb = _axis_layout(shape)
     # two budgets: mid-pass candidates (val up to 2t^2+1 over the payload)
     # and the final pass's single packed output (clamped val | sign | pay)
     vbits = max(int(2 * t * t + 1).bit_length(),
                 int(cap).bit_length() + 1)
-    if vbits + ba + bb > 31:
-        return None
-    return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
-                s=ba + bb, cap=cap, t=t)
+    for a_axis, b_axis, c_axis, ba, bb in _axis_layouts(shape):
+        if vbits + ba + bb <= 31:
+            return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
+                        s=ba + bb, cap=cap, t=t)
+    return None
 
 
 def closest_plan_wide(shape, trunc_vox: int):
@@ -364,13 +419,13 @@ def closest_plan_wide(shape, trunc_vox: int):
     payload itself: b*<<ba | a* must fit 31 bits, and 2t^2+1 must fit a
     value word — both true for any physically plausible grid."""
     t = int(trunc_vox)
-    if t <= 0:
+    if t <= 0 or 2 * t * t + 1 >= 2**31:
         return None
-    a_axis, b_axis, c_axis, ba, bb = _axis_layout(shape)
-    if ba + bb > 31 or 2 * t * t + 1 >= 2**31:
-        return None
-    return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
-                s=ba + bb, cap=t * t + 1, t=t)
+    for a_axis, b_axis, c_axis, ba, bb in _axis_layouts(shape):
+        if ba + bb <= 31:
+            return dict(a=a_axis, b=b_axis, c=c_axis, ba=ba, bb=bb,
+                        s=ba + bb, cap=t * t + 1, t=t)
+    return None
 
 
 def closest_capability(shape, trunc_vox: int) -> dict:
@@ -388,7 +443,9 @@ def closest_capability(shape, trunc_vox: int) -> dict:
     packed = closest_plan(shape, t) is not None
     wide = closest_plan_wide(shape, t) is not None
     oracle = max(shape) <= 512
-    a_axis, b_axis, c_axis, ba, bb = _axis_layout(shape)
+    # tightest candidate layout for the report
+    ba, bb = min(((la[3], la[4]) for la in _axis_layouts(shape)),
+                 key=lambda p: p[0] + p[1])
     vbits = max(int(2 * t * t + 1).bit_length(),
                 int(t * t + 1).bit_length() + 1) if t > 0 else 0
     detail = (
@@ -413,13 +470,18 @@ def _shift_lead(x: jax.Array, k: int, fill) -> jax.Array:
     return jnp.concatenate([blk, x[:k]], 0)
 
 
-def _binary_packed_xla(occ: jax.Array, plan) -> jax.Array:
+def _binary_packed_xla(occ: jax.Array, plan,
+                       square: bool = True) -> jax.Array:
     """Packed binary first pass along the LEADING axis (XLA fallback).
 
     occ: [A, M, L] bool/int.  Returns packed int32 (val<<ba | a*) with
-    val = (L1 distance)^2 clamped to cap beyond t."""
+    val = (L1 distance)^2 clamped to cap beyond t — or, with
+    ``square=False``, the RAW packed L1 (l1<<ba | a*, l1 clamped to t+1):
+    the composable cross-shard form (payload rides the lexicographic min
+    unchanged through the composition)."""
     a = occ.shape[0]
-    t = min(plan["t"], a - 1)
+    sent = plan["t"] + 1                # caller-level "no seed" sentinel
+    t = min(plan["t"], a - 1)           # local reach
     ba, cap = plan["ba"], plan["cap"]
     l1inf = np.int32(t + 1)
     iota = jnp.arange(a, dtype=jnp.int32).reshape(
@@ -433,6 +495,18 @@ def _binary_packed_xla(occ: jax.Array, plan) -> jax.Array:
         packed = jnp.minimum(packed, jnp.minimum(lo, hi) + (s << ba))
         reach += s
         s *= 2
+    d = packed >> ba
+    astar = packed & ((1 << ba) - 1)
+    if not square:
+        return jnp.where(d > t, (np.int32(sent) << ba) | astar, packed)
+    val = jnp.where(d > t, np.int32(cap), d * d)
+    return (val << ba) | astar
+
+
+def square_packed_l1(packed: jax.Array, plan) -> jax.Array:
+    """(raw packed L1, possibly composed across shards) -> the squared
+    packed form every downstream pass consumes (val<<ba | a*)."""
+    ba, cap, t = plan["ba"], plan["cap"], plan["t"]
     d = packed >> ba
     astar = packed & ((1 << ba) - 1)
     val = jnp.where(d > t, np.int32(cap), d * d)
@@ -489,13 +563,15 @@ def _split_packed_xla(p2: jax.Array, plan) -> jax.Array:
 
 
 def _binary_packed_pallas(occ: jax.Array, plan,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          square: bool = True) -> jax.Array:
     """Pallas twin of ``_binary_packed_xla`` (doubling steps in VMEM)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     a, m, l = occ.shape
-    t = min(plan["t"], a - 1)
+    sent = plan["t"] + 1                # caller-level "no seed" sentinel
+    t = min(plan["t"], a - 1)           # local reach
     ba, cap = plan["ba"], plan["cap"]
     l1inf = t + 1
     fill = np.int32(l1inf << ba)
@@ -531,7 +607,8 @@ def _binary_packed_pallas(occ: jax.Array, plan,
 
         @pl.when(none_occ)
         def _():
-            out_ref[:, :] = np.int32(cap << ba) | iota
+            out_ref[:, :] = np.int32(
+                (cap if square else sent) << ba) | iota
 
         @pl.when(jnp.logical_not(none_occ))
         def _():
@@ -547,10 +624,14 @@ def _binary_packed_pallas(occ: jax.Array, plan,
                 buf[pl.ds(pad, a), :] = jnp.minimum(
                     g, jnp.minimum(lo, hi) + np.int32(sh << ba))
             p = buf[pl.ds(pad, a), :]
-            d = p >> ba
             astar = p & np.int32((1 << ba) - 1)
-            val = jnp.where(d > t, np.int32(cap), d * d)
-            out_ref[:, :] = (val << ba) | astar
+            d = p >> ba
+            if square:
+                val = jnp.where(d > t, np.int32(cap), d * d)
+                out_ref[:, :] = (val << ba) | astar
+            else:
+                out_ref[:, :] = jnp.where(
+                    d > t, np.int32(sent << ba) | astar, p)
 
     out = pl.pallas_call(
         kernel,

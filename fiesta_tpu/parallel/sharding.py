@@ -272,20 +272,82 @@ def sharded_truncated_edt(cfg: FiestaConfig, mesh: Mesh, trunc_vox: int):
     return jax.jit(sm)
 
 
+def _compose_l1_x(p: jax.Array, t: int, lx: int, n: int, axis: str,
+                  ba: int = 0) -> jax.Array:
+    """Cross-shard composition of a shard-local truncated-L1 x-pass.
+
+    The L1 min-plus kernel COMPOSES (unlike the parabola): the global L1
+    distance of local plane ``i`` is
+
+        min( local(i),  E_left + (i+1),  F_right + (lx - i) )
+
+    where E_left is the accumulated seed distance at the LEFT neighbor's
+    right edge (over all shards to the left) and F_right symmetrically.
+    The edge vectors are themselves a min-plus prefix scan over shards,
+    computed with log-hop ``ppermute`` doubling — O(log ceil(t/lx)) EDGE
+    planes of traffic per shard instead of the T raw input planes a
+    halo-based x-pass ships (round-2 VERDICT item 2: 2*T*Y*Z*4 B per
+    boundary at cow scale = 12.8 MB, now ~4 edge planes = 0.5 MB).
+
+    Works unchanged on PACKED values (l1<<ba | payload, ``ba`` > 0):
+    integer min is lexicographic, offsets add above the payload, and the
+    telescoping |i-j| = delta + |edge-j| is exact — so the composed packed
+    candidates are IDENTICAL (value and tie-break payload) to the ones a
+    single-device pass over the full axis produces.
+
+    ``p``: [lx, Y, Z] int32, local raw L1 (clamped to t+1) or raw packed.
+    """
+    if n == 1:
+        return p
+    idx = jax.lax.axis_index(axis)
+    big = np.int32((t + 1) << ba)
+    e = p[lx - 1]                       # right-edge accumulated distance
+    f = p[0]                            # left-edge accumulated distance
+    # prefix-scan doubling over shards: after offsets 1,2,...,2^(m-1) the
+    # edge vectors cover every shard within 2^m - 1; shards further than
+    # H = (t-1)//lx + 1 cannot influence any local plane within t
+    h_need = min(n - 1, (t - 1) // lx + 1)
+    j = 1
+    while j <= h_need:
+        off = np.int32((j * lx) << ba)
+        fwd = [(i, (i + j) % n) for i in range(n)]
+        bwd = [(i, (i - j) % n) for i in range(n)]
+        e_from_left = jax.lax.ppermute(e, axis, fwd)
+        f_from_right = jax.lax.ppermute(f, axis, bwd)
+        e = jnp.minimum(e, jnp.where(idx < j, big, e_from_left + off))
+        f = jnp.minimum(f, jnp.where(idx >= n - j, big,
+                                     f_from_right + off))
+        j *= 2
+    # one more hop: each shard reads its LEFT neighbor's composed right
+    # edge and its RIGHT neighbor's composed left edge
+    e_prev = jax.lax.ppermute(e, axis, [(i, (i + 1) % n) for i in range(n)])
+    f_next = jax.lax.ppermute(f, axis, [(i, (i - 1) % n) for i in range(n)])
+    e_prev = jnp.where(idx == 0, big, e_prev)
+    f_next = jnp.where(idx == n - 1, big, f_next)
+
+    iota = jnp.arange(lx, dtype=jnp.int32)[:, None, None]
+    cand_l = e_prev[None] + ((iota + 1) << ba)
+    cand_r = f_next[None] + ((lx - iota) << ba)
+    return jnp.minimum(p, jnp.minimum(cand_l, cand_r))
+
+
 def _local_truncated_edt(cfg: FiestaConfig, n: int, trunc_vox: int):
     """Shard-local body of the sharded truncated EDT (see above)."""
-    from ..ops.pallas.edt import _INF_EDT, _minplus_pass, binary_pass
+    from ..ops.pallas.edt import _INF_EDT, _minplus_pass, l1_pass, square_l1
 
     gx = cfg.grid_shape[0]
     assert gx % n == 0
     t = int(trunc_vox)
+    lx = gx // n
 
     def local_fn(occupied):
         f = jnp.where(occupied, 0, _INF_EDT).astype(jnp.int32)
-        fx = _halo_planes_x(f, t, n, "x", _INF_EDT)
-        # pass 1 along x on the extended block (binary input -> O(log t)
-        # doubling), then crop the halo
-        p1 = binary_pass(fx, t)[t:-t]
+        # pass 1 along x: LOCAL raw L1, composed across shards through
+        # log-hop edge planes (no T-plane halos, no redundant halo
+        # compute), then squared/truncated
+        d = l1_pass(f, t)
+        d = _compose_l1_x(d, t, lx, n, "x")
+        p1 = square_l1(d, t)
         # passes 2 (y) and 3 (z) are local
         p2 = _minplus_pass(p1.transpose(1, 0, 2), t)
         p3 = _minplus_pass(p2.transpose(2, 1, 0), t)
@@ -298,8 +360,10 @@ def _local_truncated_edt(cfg: FiestaConfig, n: int, trunc_vox: int):
 def sharded_closest_supported(cfg: FiestaConfig) -> bool:
     """Whether the sharded rebuild can track closest-obstacle coords: the
     packed-argmin bit budget must fit (edt.closest_plan on the GLOBAL
-    shape) and the split-sign pass must land on the sharded X axis
-    (plan axis c == 0), so the A/B payload passes stay shard-local."""
+    shape) and the sharded X axis must carry either the leading binary
+    pass (plan a == 0 — the composable production layout: cross-shard
+    traffic is log-hop edge planes) or the split-sign pass (plan c == 0 —
+    legacy halo layout: T packed planes per side)."""
     from ..ops.pallas.edt import closest_plan, trunc_vox_for
 
     if not cfg.track_closest:
@@ -310,7 +374,7 @@ def sharded_closest_supported(cfg: FiestaConfig) -> bool:
 
     def ok(shape, t):
         plan = closest_plan(shape, t)
-        return plan is not None and plan["c"] == 0
+        return plan is not None and (plan["a"] == 0 or plan["c"] == 0)
 
     if t_fine < t_total and all(g % 2 == 0 for g in gshape):
         coarse = tuple(g // 2 for g in gshape)
@@ -323,24 +387,106 @@ def _local_edt_closest(shape, n: int, trunc_vox: int, coord_scale: int = 1):
     grid of GLOBAL ``shape``.
 
     Same packed-argmin pipeline as edt.truncated_edt_d2_closest (which
-    see): passes A/B carry absolute coordinates in the payload and are
-    shard-local (the plan's split axis C must be the sharded X axis —
-    gate with ``sharded_closest_supported``); the final split-sign pass
-    runs on a T-plane halo-extended block, and its X coordinate is
-    recovered arithmetically with the GLOBAL x iota.  Bit-exact vs the
-    single-device transform (same plan, same tie-breaks, halos read the
-    same capped-far fill the single-device pads do).
+    see), in one of two layouts:
+
+      * plan a == 0 (PRODUCTION): the leading binary/L1 pass runs on the
+        sharded axis in its composable raw form — payloads carry GLOBAL x
+        coordinates and the cross-shard propagation is the same log-hop
+        edge-plane composition the d2-only path uses
+        (``_compose_l1_x`` on packed values; round-2 VERDICT item 2).
+        The window and split passes are then fully shard-local.
+      * plan c == 0 (fallback for budgets where the x-lead layout does
+        not fit): payload passes local, split pass over a T-plane
+        halo-extended block (T packed planes of ICI per side).
+
+    Both are bit-exact vs the single-device transform: closest_plan
+    prefers the x-lead layout whenever it fits, so single-device and
+    sharded use the same plan and identical lexicographic tie-breaks.
 
     ``coord_scale`` multiplies the produced closest coords (2 for the
     hierarchical coarse level).  Returns local_fn(occupied_local, x0) ->
     (d2_local, closest_local [3,lx,Y,Z] int16).
     """
     from ..grid import UNDEFINED_COORD
-    from ..ops.pallas.edt import _closest_passes, closest_plan
+    from ..ops.pallas.edt import closest_plan
 
     plan = closest_plan(shape, trunc_vox)
-    assert plan is not None and plan["c"] == 0
+    assert plan is not None and (plan["a"] == 0 or plan["c"] == 0)
     t, ba, bb, s = plan["t"], plan["ba"], plan["bb"], plan["s"]
+    lx = shape[0] // n
+
+    if plan["a"] == 0:
+        b_ax, c_ax = plan["b"], plan["c"]
+
+        def local_fn(occupied, x0):
+            from ..ops.pallas.edt import (
+                _binary_packed_pallas,
+                _binary_packed_xla,
+                _split_packed_pallas,
+                _split_packed_xla,
+                _window_packed_pallas,
+                _window_packed_xla,
+                square_packed_l1,
+            )
+
+            on_tpu = jax.default_backend() == "tpu"
+            occ_l = occupied.astype(jnp.uint8)    # [lx, Y, Z], x leading
+            if on_tpu:
+                p1 = _binary_packed_pallas(occ_l, plan, square=False)
+            else:
+                p1 = _binary_packed_xla(occ_l, plan, square=False)
+            # globalize the payload (payload bits are the low ba bits and
+            # local iota + x0 < 2^ba, so plain addition cannot carry into
+            # the value field), compose across shards, then square
+            p1 = _compose_l1_x(p1 + x0, t, lx, n, "x", ba=ba)
+            p1 = square_packed_l1(p1, plan)
+
+            # pass 2 (window) along B, pass 3 (split) along C — both local
+            perm2 = {1: (1, 0, 2), 2: (2, 0, 1)}[b_ax]
+            p2in = p1.transpose(perm2)            # [B, lx, other]
+            if on_tpu:
+                p2 = _window_packed_pallas(p2in, plan)
+            else:
+                p2 = _window_packed_xla(p2in, plan)
+            # current layout axes (local ids): (b_ax, 0, c_ax)
+            if on_tpu:
+                vps = _split_packed_pallas(p2.transpose(2, 1, 0), plan)
+            else:
+                vps = _split_packed_xla(p2.transpose(2, 1, 0), plan)
+            # layout now (c_ax, 0, b_ax)
+
+            from ..ops.pallas.edt import unpack_split
+
+            val, sign, bstar, astar = unpack_split(vps, plan)
+            lshape = val.shape
+            ia = jax.lax.broadcasted_iota(jnp.int32, lshape, 1) + x0
+            ib = jax.lax.broadcasted_iota(jnp.int32, lshape, 2)
+            ic = jax.lax.broadcasted_iota(jnp.int32, lshape, 0)
+            # astar is already GLOBAL (payload globalized before compose)
+            dc2 = val - (ia - astar) ** 2 - (ib - bstar) ** 2
+            dc = jnp.round(
+                jnp.sqrt(jnp.maximum(dc2, 0).astype(jnp.float32))
+            ).astype(jnp.int32)
+            cstar = jnp.where(sign > 0, ic + dc, ic - dc)
+
+            valid = val <= t * t
+            d2 = jnp.where(valid, val, INF_D2)
+            undef = jnp.int16(UNDEFINED_COORD)
+            coords = [None, None, None]
+            coords[0] = astar
+            coords[b_ax] = bstar
+            coords[c_ax] = cstar
+            sc = jnp.int16(coord_scale)
+            closest = jnp.stack(
+                [jnp.where(valid, c.astype(jnp.int16) * sc, undef)
+                 for c in coords])
+            inv = tuple(int(i) for i in np.argsort((c_ax, 0, b_ax)))
+            d2 = d2.transpose(inv)
+            closest = closest.transpose((0,) + tuple(i + 1 for i in inv))
+            return d2, closest
+
+        return local_fn
+
     a_ax, b_ax = plan["a"], plan["b"]
     cap_fill = np.int32(plan["cap"] << s)
 
@@ -463,12 +609,12 @@ def _local_rebuild_esdf(cfg: FiestaConfig, n: int):
 
         return local_fn
 
-    from ..ops.pallas.edt import _INF_EDT, _minplus_pass, binary_pass
+    from ..ops.pallas.edt import _INF_EDT, _minplus_pass, l1_pass, square_l1
 
     def edt_level(occ, t, n_):
         f = jnp.where(occ, 0, _INF_EDT).astype(jnp.int32)
-        fx = _halo_planes_x(f, t, n_, "x", _INF_EDT)
-        p1 = binary_pass(fx, t)[t:-t]
+        d = _compose_l1_x(l1_pass(f, t), t, f.shape[0], n_, "x")
+        p1 = square_l1(d, t)
         p2 = _minplus_pass(p1.transpose(1, 0, 2), t)
         p3 = _minplus_pass(p2.transpose(2, 1, 0), t)
         d2 = p3.transpose(1, 2, 0)
