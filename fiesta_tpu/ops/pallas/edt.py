@@ -60,6 +60,42 @@ _I16_INF = 20000
 _I16_T_MAX = 100  # T^2 <= 10000
 
 
+def _i16_vector_min_supported() -> bool:
+    """Feature-probe: can Mosaic on this toolchain legalize vector int16
+    min/add inside a Pallas kernel?  Round-2 toolchains could not
+    ("failed to legalize operation 'arith.minsi'" on vector<...xi16>);
+    when a toolchain lands support, the windowed min-plus passes
+    auto-switch to int16 for t <= _I16_T_MAX (2x VPU lanes).  Cached per
+    process; False on non-TPU backends and on any compile/run failure."""
+    global _I16_PROBE
+    if _I16_PROBE is not None:
+        return _I16_PROBE
+    if jax.default_backend() != "tpu":
+        _I16_PROBE = False
+        return False
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def k(x_ref, o_ref):
+            a = x_ref[:, :]
+            o_ref[:, :] = jnp.minimum(a + np.int16(3), a)
+
+        out = pl.pallas_call(
+            k,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int16),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(jnp.ones((8, 128), jnp.int16))
+        _I16_PROBE = bool(np.asarray(out)[0, 0] == 1)
+    except Exception:
+        _I16_PROBE = False
+    return _I16_PROBE
+
+
+_I16_PROBE = None
+
+
 def _minplus_pass_pallas(f: jax.Array, t: int,
                          interpret: bool = False) -> jax.Array:
     """One windowed min-plus pass along the LEADING axis of [A, M, L].
@@ -324,17 +360,24 @@ def truncated_edt_d2(occupied: jax.Array, trunc_vox: int) -> jax.Array:
     dtype, inf = jnp.int32, _INF_EDT
     f = jnp.where(occupied, 0, inf).astype(dtype)
 
+    p1 = binary_pass(f, t)                                    # [X,Y,Z]
+    if t <= _I16_T_MAX and _i16_vector_min_supported():
+        # 2x-lane window passes: values fit int16 (clamped at _I16_INF >
+        # t^2, pass adds <= t^2 so max 30000 < 32767); exactness is
+        # preserved because every beyond-truncation value stays > t^2
+        p1 = jnp.minimum(p1, _I16_INF).astype(jnp.int16)
+        dtype, inf = jnp.int16, _I16_INF
+
     def clamp(x):
         return jnp.minimum(x, np.asarray(inf, dtype))
 
-    p1 = binary_pass(f, t)                                    # [X,Y,Z]
     p2 = _minplus_pass(clamp(p1).transpose(1, 0, 2), t)       # [Y,X,Z]
     p3 = _minplus_pass(clamp(p2).transpose(2, 1, 0), t)       # [Z,X,Y]
     d2 = p3.transpose(1, 2, 0).astype(jnp.int32)
     # min() guard: for t > 1024, t^2 exceeds the internal _INF_EDT clamp
     # and "no obstacle in window" values would otherwise leak through as
     # finite 2^20 distances
-    return jnp.where(d2 <= min(t * t, inf - 1), d2, INF_D2)
+    return jnp.where(d2 <= min(t * t, int(inf) - 1), d2, INF_D2)
 
 
 def trunc_vox_for(resolution: float, trunc_dist: float) -> int:
