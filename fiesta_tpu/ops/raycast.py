@@ -619,13 +619,25 @@ def _seeds_from_packed(cfg: FiestaConfig, packed):
     return seeds, hit_b, epfree_b
 
 
-def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins):
-    """Batched endpoint splat: vmapped per-ray prep + ONE flat scatter.
+def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
+                          transforms=None):
+    """Batched endpoint splat: component-form per-ray prep + ONE flat
+    scatter.
 
-    points [K,P,3] world-frame, valid [K,P], origins [K,3].  Returns
+    points [K,P,3] (world-frame; SENSOR-frame when ``transforms`` [K,4,4]
+    is given — the world transform then runs in component space), valid
+    [K,P], origins [K,3] (ignored when transforms given).  Returns
     (starts [K,3], po_box [K,3], seeds [K,BX,BY,BZ], hit_b, epfree_b,
     rvalid [K,P]).
+
+    ALL per-ray math runs on component ([K,P]) arrays: a [K,P,3] layout
+    keeps the length-3 coordinate axis minormost, which XLA:TPU tiles
+    onto the 128-lane dimension at 3/128 utilization — measured ~1.9 ms
+    of pure layout waste per tick at cow scale for the pose einsum alone
+    (PERF.md round 3).  The input is read through three strided slices
+    (one relayout) and everything downstream is full-lane.
     """
+    gx, gy, gz = cfg.grid_shape
     bx, by, bz = _carve_box_shape(cfg)
     nb = bx * by * bz
     k = points.shape[0]
@@ -636,9 +648,87 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins):
             f"flat endpoint splat index overflows int32: {k} scans x "
             f"{nb} box voxels = {k * nb} >= 2^31; reduce scans_per_tick "
             "or the carve box (max_ray_length/resolution)")
-    starts, po_box, lin_w, packed_val, rvalid = jax.vmap(
-        lambda p, v, o: _scanline_seeds_prep(cfg, p, v, o)
-    )(points, valid, origins)
+    res = cfg.resolution
+    mx, my, mz = (np.float32(o) for o in cfg.origin)
+
+    px, py, pz = (points[..., j] for j in range(3))        # [K,P]
+    if transforms is not None:
+        r = transforms[:, :3, :3]
+        wx, wy, wz = [
+            px * r[:, i, 0, None] + py * r[:, i, 1, None]
+            + pz * r[:, i, 2, None] + transforms[:, i, 3, None]
+            for i in (0, 1, 2)]
+        px, py, pz = wx, wy, wz
+        origins = transforms[:, :3, 3]
+    ox, oy, oz = (origins[:, j, None] for j in range(3))   # [K,1]
+
+    # --- _prep_rays in component form ---
+    valid = valid & jnp.isfinite(px) & jnp.isfinite(py) & jnp.isfinite(pz)
+    dx, dy, dz = px - ox, py - oy, pz - oz
+    length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    rvalid = valid & (length >= cfg.min_ray_length)
+    is_hit = length <= cfg.max_ray_length
+    scale = jnp.where(
+        is_hit, 1.0, cfg.max_ray_length / jnp.maximum(length, 1e-9))
+    cx, cy, cz = ox + dx * scale, oy + dy * scale, oz + dz * scale
+
+    # --- box placement (per scan, [K,3]) ---
+    map_origin = jnp.asarray(cfg.origin, jnp.float32)
+    po_grid = (origins - map_origin) / res - 0.5
+    starts = jnp.clip(
+        jnp.round(po_grid).astype(jnp.int32)
+        - jnp.array([bx // 2, by // 2, bz // 2]),
+        0,
+        jnp.array([gx - bx, gy - by, gz - bz]),
+    )
+    po_box = po_grid - starts.astype(jnp.float32)
+    sx0, sy0, sz0 = (starts[:, j, None] for j in range(3))  # [K,1] i32
+
+    # --- endpoint voxels in box coordinates ---
+    vx = jnp.floor((cx - mx) / res).astype(jnp.int32)
+    vy = jnp.floor((cy - my) / res).astype(jnp.int32)
+    vz = jnp.floor((cz - mz) / res).astype(jnp.int32)
+    vbx, vby, vbz = vx - sx0, vy - sy0, vz - sz0
+    in_box = ((vbx >= 0) & (vbx < bx) & (vby >= 0) & (vby < by)
+              & (vbz >= 0) & (vbz < bz))
+    inside = in_box & ((vx >= 0) & (vx < gx) & (vy >= 0) & (vy < gy)
+                       & (vz >= 0) & (vz < gz))
+
+    # --- box-exit clip for rays leaving the box ---
+    lwx = mx + sx0.astype(jnp.float32) * res
+    lwy = my + sy0.astype(jnp.float32) * res
+    lwz = mz + sz0.astype(jnp.float32) * res
+    hwx, hwy, hwz = lwx + bx * res, lwy + by * res, lwz + bz * res
+    ux, uy, uz = cx - ox, cy - oy, cz - oz
+
+    def t_axis(u, lo, hi, o):
+        safe = jnp.where(jnp.abs(u) < 1e-9, 1e-9, u)
+        return jnp.where(u > 0, (hi - o) / safe, (lo - o) / safe)
+
+    s_exit = jnp.clip(
+        jnp.minimum(jnp.minimum(t_axis(ux, lwx, hwx, ox),
+                                t_axis(uy, lwy, hwy, oy)),
+                    t_axis(uz, lwz, hwz, oz)), 0.0, 1.0)
+    ulen = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    exit_dist = s_exit * ulen - 0.5 * res
+    f = exit_dist / jnp.maximum(ulen, 1e-9)
+    ebx = jnp.clip(jnp.floor((ox + ux * f - mx) / res).astype(jnp.int32)
+                   - sx0, 0, bx - 1)
+    eby = jnp.clip(jnp.floor((oy + uy * f - my) / res).astype(jnp.int32)
+                   - sy0, 0, by - 1)
+    ebz = jnp.clip(jnp.floor((oz + uz * f - mz) / res).astype(jnp.int32)
+                   - sz0, 0, bz - 1)
+
+    # --- packed class+range value and flat scatter ---
+    sxx = jnp.where(inside, vbx, ebx)
+    syy = jnp.where(inside, vby, eby)
+    szz = jnp.where(inside, vbz, ebz)
+    packed_val = jnp.where(
+        inside & is_hit, 2000.0 + length,
+        1000.0 + jnp.where(inside, cfg.max_ray_length + cfg.resolution,
+                           exit_dist + cfg.resolution),
+    ).astype(jnp.float32)
+    lin_w = sxx * (by * bz) + syy * bz + szz
 
     biglin = lin_w + (jnp.arange(k, dtype=jnp.int32) * nb)[:, None]
     packed = (
@@ -679,14 +769,60 @@ def _box_window_mask(cfg, starts, window, box_shape):
     )
 
 
+#: counter-application strategy for the batched integrator:
+#:   "rmw"    — K sequential slice read-modify-writes (round-2 form)
+#:   "padded" — pad each box onto a zero grid, ADD in uint16, saturate
+#:              ONCE.  Bit-identical (saturating u8 addition of
+#:              nonnegative increments == min(a + sum, 255) when the sum
+#:              accumulates in a wide type), but expressed as elementwise
+#:              adds XLA can fuse into the downstream fusion pass instead
+#:              of 4K dynamic-slice ops.
+#: tests assert the two agree; the default follows on-chip measurement.
+BOX_APPLY = "rmw"
+
+
+def apply_box_counts(hit_cnt, miss_cnt, starts, hitc, missc,
+                     mode: Optional[str] = None):
+    """Apply K scans' box-local counter contributions to the full grids.
+
+    starts [K,3] i32; hitc/missc [K,BX,BY,BZ] u8.  See ``BOX_APPLY``.
+    """
+    kk = starts.shape[0]
+    if (mode or BOX_APPLY) == "rmw":
+        box = hitc.shape[1:]
+        for i in range(kk):
+            s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]
+            reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), box)
+            hit_cnt = jax.lax.dynamic_update_slice(
+                hit_cnt, _sat_add_u8(reg, hitc[i]), (s0, s1, s2))
+            reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), box)
+            miss_cnt = jax.lax.dynamic_update_slice(
+                miss_cnt, _sat_add_u8(reg, missc[i]), (s0, s1, s2))
+        return hit_cnt, miss_cnt
+    ht = hit_cnt.astype(jnp.uint16)
+    mt = miss_cnt.astype(jnp.uint16)
+    zero = jnp.zeros(hit_cnt.shape, jnp.uint16)
+    for i in range(kk):
+        at = (starts[i, 0], starts[i, 1], starts[i, 2])
+        ht = ht + jax.lax.dynamic_update_slice(
+            zero, hitc[i].astype(jnp.uint16), at)
+        mt = mt + jax.lax.dynamic_update_slice(
+            zero, missc[i].astype(jnp.uint16), at)
+    # one saturation on the wide sums == the sequential saturating adds
+    # (increments are nonnegative; max possible sum 255 + 2K << 2^16)
+    return (jnp.minimum(ht, 255).astype(jnp.uint8),
+            jnp.minimum(mt, 255).astype(jnp.uint8))
+
+
 def integrate_scan_scanline_batch(
     cfg: FiestaConfig,
     hit_cnt: jax.Array,
     miss_cnt: jax.Array,
-    points: jax.Array,    # [K, P, 3] world-frame
+    points: jax.Array,    # [K, P, 3] world-frame (sensor w/ transforms)
     valid: jax.Array,     # [K, P]
     origins: jax.Array,   # [K, 3]
     window: Optional[Tuple[jax.Array, jax.Array]] = None,
+    transforms: Optional[jax.Array] = None,
 ) -> ScanResult:
     """K scans integrated with ONE batched carve (TPU production path).
 
@@ -694,29 +830,24 @@ def integrate_scan_scanline_batch(
     calls (counts accumulate per scan); the carve sweeps of all K scans are
     fused so the serial slab dimension is paid once per update batch, not
     once per scan x orientation (see ``_octant_scan_batched``).
+    ``transforms``: see ``_scanline_seeds_batch`` (sensor-frame input,
+    world transform fused into the component-form prep).
     """
-    kk = points.shape[0]
-    box = _carve_box_shape(cfg)
     starts, hitc, missc, n_rays, n_endpoints = scanline_batch_boxes(
-        cfg, points, valid, origins, window
+        cfg, points, valid, origins, window, transforms=transforms
     )
-    for i in range(kk):
-        s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]
-        reg = jax.lax.dynamic_slice(hit_cnt, (s0, s1, s2), box)
-        hit_cnt = jax.lax.dynamic_update_slice(
-            hit_cnt, _sat_add_u8(reg, hitc[i]), (s0, s1, s2))
-        reg = jax.lax.dynamic_slice(miss_cnt, (s0, s1, s2), box)
-        miss_cnt = jax.lax.dynamic_update_slice(
-            miss_cnt, _sat_add_u8(reg, missc[i]), (s0, s1, s2))
+    hit_cnt, miss_cnt = apply_box_counts(hit_cnt, miss_cnt, starts,
+                                         hitc, missc)
     return ScanResult(hit_cnt, miss_cnt, n_rays, n_endpoints)
 
 
 def scanline_batch_boxes(
     cfg: FiestaConfig,
-    points: jax.Array,    # [K, P, 3] world-frame
+    points: jax.Array,    # [K, P, 3] world-frame (sensor w/ transforms)
     valid: jax.Array,     # [K, P]
     origins: jax.Array,   # [K, 3]
     window: Optional[Tuple[jax.Array, jax.Array]] = None,
+    transforms: Optional[jax.Array] = None,
 ):
     """Box-local observation contributions of K scans (carve included).
 
@@ -727,7 +858,7 @@ def scanline_batch_boxes(
     box = _carve_box_shape(cfg)
 
     starts, po_box, seeds, hit_b, epfree_b, rvalid = _scanline_seeds_batch(
-        cfg, points, valid, origins)
+        cfg, points, valid, origins, transforms=transforms)
 
     if window is not None:
         wmask_b = jax.vmap(

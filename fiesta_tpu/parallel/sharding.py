@@ -743,10 +743,9 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
                 & ((ys >= wmin[1]) & (ys <= wmax[1]))[None, :, None] \
                 & ((zs >= wmin[2]) & (zs <= wmax[2]))[None, None, :]
 
-        pw = jnp.einsum("kpj,kij->kpi", points, transforms[:, :3, :3]) \
-            + transforms[:, None, :3, 3]
         starts, hit32, miss32, n_rays, n_ep = raycast.scanline_batch_boxes(
-            cfg, pw, valids, transforms[:, :3, 3], win
+            cfg, points, valids, transforms[:, :3, 3], win,
+            transforms=transforms,
         )
         # every slab needs every scan's box: gather the per-scan
         # contributions (u8 boxes; world-size-independent traffic)

@@ -247,12 +247,12 @@ def integrate_scan_batch(
         win = None
 
     if method == "scanline":
-        # fused carve: all K scans' wavefront sweeps share one schedule
-        pw = jnp.einsum("kpj,kij->kpi", points, transforms[:, :3, :3]) \
-            + transforms[:, None, :3, 3]
+        # fused carve: all K scans' wavefront sweeps share one schedule;
+        # the world transform runs inside the component-form prep (an
+        # einsum on [K,P,3] costs ~1.9 ms of pure lane waste, PERF.md r3)
         res = raycast.integrate_scan_scanline_batch(
-            cfg, state.hit_cnt, state.miss_cnt, pw, valids,
-            transforms[:, :3, 3], win,
+            cfg, state.hit_cnt, state.miss_cnt, points, valids,
+            transforms[:, :3, 3], win, transforms=transforms,
         )
         return dataclasses.replace(
             state, hit_cnt=res.hit_cnt, miss_cnt=res.miss_cnt

@@ -175,7 +175,8 @@ def main():
           state.hit_cnt, state.miss_cnt)
 
     M = 32
-    ubox = (box[0] + M, box[1] + M, box[2] + M)
+    gsh = cfg.grid_shape
+    ubox = tuple(min(box[i] + M, gsh[i]) for i in range(3))
 
     @jax.jit
     def slices_union(hc, mc):

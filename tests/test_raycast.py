@@ -293,3 +293,108 @@ def test_scanline_carve_agrees_with_dda_within_one_voxel():
     covered = (free_scan & interior).sum()
     assert covered > 0.95 * max(interior.sum(), 1), (
         f"carve covers only {covered}/{interior.sum()} interior free voxels")
+
+
+def test_soa_seeds_batch_matches_vmapped_prep():
+    """The component-form (SoA) batched splat must reproduce the original
+    vmapped AoS per-ray prep: same box placement, same packed scatter
+    inputs, same seeds."""
+    import jax
+
+    cfg = CFG
+    rng = np.random.default_rng(17)
+    k, p = 3, 512
+    pts = rng.uniform(-4.0, 4.0, (k, p, 3)).astype(np.float32)
+    pts[0, 5] = np.nan                      # invalid-point path
+    valid = rng.random((k, p)) < 0.9
+    origins = rng.uniform(-0.5, 0.5, (k, 3)).astype(np.float32)
+
+    starts_s, po_s, seeds_s, hit_s, ep_s, rv_s = jax.jit(
+        lambda a, v, o: raycast._scanline_seeds_batch(cfg, a, v, o)
+    )(jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(origins))
+
+    def old_batch(points, valid_, origs):
+        bx, by, bz = raycast._carve_box_shape(cfg)
+        nb = bx * by * bz
+        st, po, lin, val, rv = jax.vmap(
+            lambda pp, vv, oo: raycast._scanline_seeds_prep(cfg, pp, vv, oo)
+        )(points, valid_, origs)
+        biglin = lin + (jnp.arange(k, dtype=jnp.int32) * nb)[:, None]
+        packed = (jnp.zeros((k * nb,), jnp.float32)
+                  .at[jnp.where(rv, biglin, k * nb).ravel()]
+                  .max(val.ravel(), mode="drop").reshape(k, bx, by, bz))
+        seeds, hit_b, ep_b = raycast._seeds_from_packed(cfg, packed)
+        return st, po, seeds, hit_b, ep_b, rv
+
+    starts_o, po_o, seeds_o, hit_o, ep_o, rv_o = jax.jit(old_batch)(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(origins))
+
+    np.testing.assert_array_equal(np.asarray(starts_s), np.asarray(starts_o))
+    np.testing.assert_allclose(np.asarray(po_s), np.asarray(po_o),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rv_s), np.asarray(rv_o))
+    np.testing.assert_allclose(np.asarray(seeds_s), np.asarray(seeds_o),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(hit_o))
+    np.testing.assert_array_equal(np.asarray(ep_s), np.asarray(ep_o))
+
+
+def test_soa_transform_matches_einsum_path():
+    """Sensor-frame input + transforms reproduces the explicit einsum
+    world transform."""
+    import jax
+
+    cfg = CFG
+    rng = np.random.default_rng(23)
+    k, p = 2, 256
+    pts_cam = rng.uniform(-3.0, 3.0, (k, p, 3)).astype(np.float32)
+    valid = np.ones((k, p), bool)
+    tfs = []
+    for i in range(k):
+        from fiesta_tpu.ops.depth import pose_to_matrix
+
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        tfs.append(np.asarray(pose_to_matrix(rng.uniform(-0.4, 0.4, 3), q)))
+    tfs = np.stack(tfs).astype(np.float32)
+
+    pw = np.einsum("kpj,kij->kpi", pts_cam, tfs[:, :3, :3]) \
+        + tfs[:, None, :3, 3]
+    a = jax.jit(lambda pp, v, t: raycast._scanline_seeds_batch(
+        cfg, pp, v, t[:, :3, 3], transforms=t))(
+            jnp.asarray(pts_cam), jnp.asarray(valid), jnp.asarray(tfs))
+    b = jax.jit(lambda pp, v, o: raycast._scanline_seeds_batch(
+        cfg, pp, v, o))(jnp.asarray(pw, jnp.float32), jnp.asarray(valid),
+                        jnp.asarray(tfs[:, :3, 3]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                               rtol=0, atol=2e-3)
+    # endpoint classes agree except possibly at exact voxel boundaries
+    assert (np.asarray(a[3]) != np.asarray(b[3])).mean() < 1e-3
+
+
+def test_apply_box_counts_modes_agree_with_saturation():
+    """padded-add counter application == sequential saturating RMWs,
+    including at the u8 saturation boundary."""
+    cfg = CFG
+    box = raycast._carve_box_shape(cfg)
+    rng = np.random.default_rng(3)
+    k = 3
+    gshape = cfg.grid_shape
+    hit = rng.integers(0, 256, gshape).astype(np.uint8)
+    hit[:8] = 254                           # near-saturation region
+    miss = rng.integers(0, 256, gshape).astype(np.uint8)
+    starts = np.stack([
+        rng.integers(0, max(gshape[i] - box[i], 1) + 1, k)
+        for i in range(3)], 1).astype(np.int32)
+    hitc = rng.integers(0, 2, (k,) + box).astype(np.uint8)
+    missc = rng.integers(0, 3, (k,) + box).astype(np.uint8)
+
+    a = raycast.apply_box_counts(jnp.asarray(hit), jnp.asarray(miss),
+                                 jnp.asarray(starts), jnp.asarray(hitc),
+                                 jnp.asarray(missc), mode="rmw")
+    b = raycast.apply_box_counts(jnp.asarray(hit), jnp.asarray(miss),
+                                 jnp.asarray(starts), jnp.asarray(hitc),
+                                 jnp.asarray(missc), mode="padded")
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
