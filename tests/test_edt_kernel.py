@@ -240,3 +240,18 @@ def test_edt_closest_auto_dispatch():
     d2p, clp = edt.truncated_edt_d2_closest(jnp.asarray(occ_small), 8)
     np.testing.assert_array_equal(np.asarray(d2a), np.asarray(d2p))
     np.testing.assert_array_equal(np.asarray(cla), np.asarray(clp))
+
+
+def test_l1_pass_squares_to_binary_pass():
+    """l1_pass + square_l1 == binary_pass on a full axis (the composable
+    form the sharded x-pass exchanges edge planes of)."""
+    rng = np.random.default_rng(19)
+    for t, shape in [(8, (40, 16, 8)), (100, (64, 8, 8)), (5, (6, 8, 8))]:
+        occ = rng.random(shape) < 0.05
+        f = jnp.where(jnp.asarray(occ), 0, edt._INF_EDT).astype(jnp.int32)
+        a = np.asarray(edt.square_l1(edt.l1_pass(f, t), t))
+        b = np.asarray(edt.binary_pass(f, t))
+        np.testing.assert_array_equal(a, b)
+        # raw form: bounded by t+1, sentinel only where no seed within t
+        raw = np.asarray(edt.l1_pass(f, t))
+        assert raw.max() <= t + 1
