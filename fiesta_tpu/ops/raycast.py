@@ -777,8 +777,11 @@ def _box_window_mask(cfg, starts, window, box_shape):
 #:              accumulates in a wide type), but expressed as elementwise
 #:              adds XLA can fuse into the downstream fusion pass instead
 #:              of 4K dynamic-slice ops.
-#: tests assert the two agree; the default follows on-chip measurement.
-BOX_APPLY = "rmw"
+#: tests assert the two agree; the default follows on-chip measurement
+#: (override with FIESTA_BOX_APPLY=padded|rmw for A/B runs).
+import os as _os  # noqa: E402
+
+BOX_APPLY = _os.environ.get("FIESTA_BOX_APPLY", "rmw")
 
 
 def apply_box_counts(hit_cnt, miss_cnt, starts, hitc, missc,
