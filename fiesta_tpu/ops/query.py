@@ -55,10 +55,29 @@ def get_distance(
     """Distance at world positions [...,3] (GetDistance, ESDFMap.cpp:467-475).
 
     Out-of-map positions return UNDEFINED_DIST (-10000), as the reference.
+
+    TPU note: per-element gathers execute serially (~9 ns/element) — at
+    the MPC's 491k lookups/solve that alone is ~4.4 ms.  For shallow
+    grids the z-column ROW gather (the fast gather shape, same trick as
+    the trilinear path) + an iota mask select streams instead.
     """
     in_map = pos_in_map(cfg, pos)
     vox = pos_to_vox(cfg, pos)
-    d = get_distance_vox(cfg, dist, vox)
+    gx, gy, gz = cfg.grid_shape
+    if gz <= 256:
+        lead = pos.shape[:-1]
+        v = vox.reshape(-1, 3)
+        inside = jnp.all(
+            (v >= 0) & (v < jnp.array([gx, gy, gz], v.dtype)), axis=-1)
+        lin = (jnp.clip(v[:, 0], 0, gx - 1) * gy
+               + jnp.clip(v[:, 1], 0, gy - 1))
+        rows = dist.reshape(gx * gy, gz)[lin]            # [N, gz]
+        m = jnp.arange(gz, dtype=jnp.int32)[None, :] == v[:, 2:3]
+        val = jnp.sum(jnp.where(m, rows, 0.0), axis=-1)
+        d = jnp.where(inside, val,
+                      cfg.infinity_distance).reshape(lead)
+    else:
+        d = get_distance_vox(cfg, dist, vox)
     return jnp.where(in_map, d, UNDEFINED_DIST)
 
 

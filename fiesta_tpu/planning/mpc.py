@@ -85,6 +85,78 @@ def rollout_positions(mpc: MPCConfig, p0, v0, controls):
     return ps
 
 
+def _rollout_positions_soa(mpc: MPCConfig, p0, v0, controls_soa):
+    """Batched rollout in component layout: controls [H,3,K] -> positions
+    [H,3,K].  The K rollouts ride the 128-lane axis at full width; the
+    [K,H,3] form keeps the length-3 coordinate axis minormost (3/128 lane
+    utilization — the same layout tax PERF.md round 3 measured on the
+    mapping tick's pose einsum)."""
+
+    def step(carry, a):
+        p, v = carry                        # [3, K] each
+        v = jnp.clip(v + a * mpc.dt, -mpc.v_max, mpc.v_max)
+        p = p + v * mpc.dt
+        return (p, v), p
+
+    k = controls_soa.shape[-1]
+    p0b = jnp.broadcast_to(p0[:, None], (3, k))
+    v0b = jnp.broadcast_to(v0[:, None], (3, k))
+    (_, _), ps = jax.lax.scan(step, (p0b, v0b), controls_soa, unroll=4)
+    return ps
+
+
+def _nearest_distance_soa(cfg: FiestaConfig, dist, px, py, pz):
+    """get_distance semantics on component arrays ([...,] each): nearest
+    voxel via a z-column row gather, out-of-grid -> infinity, out-of-map
+    -> UNDEFINED_DIST."""
+    from ..grid import UNDEFINED_DIST
+
+    gx, gy, gz = cfg.grid_shape
+    res = cfg.resolution
+    ox, oy, oz = cfg.origin
+    sx, sy, sz = cfg.map_size
+    in_map = ((px >= ox) & (px <= ox + sx) & (py >= oy) & (py <= oy + sy)
+              & (pz >= oz) & (pz <= oz + sz))
+    ix = jnp.floor((px - ox) / res).astype(jnp.int32)
+    iy = jnp.floor((py - oy) / res).astype(jnp.int32)
+    iz = jnp.floor((pz - oz) / res).astype(jnp.int32)
+    inside = ((ix >= 0) & (ix < gx) & (iy >= 0) & (iy < gy)
+              & (iz >= 0) & (iz < gz))
+    lin = jnp.clip(ix, 0, gx - 1) * gy + jnp.clip(iy, 0, gy - 1)
+    rows = dist.reshape(gx * gy, gz)[lin]               # [..., gz]
+    m = jnp.arange(gz, dtype=jnp.int32) == iz[..., None]
+    val = jnp.sum(jnp.where(m, rows, 0.0), axis=-1)
+    d = jnp.where(inside, val, cfg.infinity_distance)
+    return jnp.where(in_map, d, UNDEFINED_DIST)
+
+
+def _sample_costs_soa(cfg: FiestaConfig, mpc: MPCConfig, dist_grid,
+                      p0, v0, goal, ctrl_soa):
+    """MPPI sample costs [K] from controls [H,3,K] — trajectory_cost
+    semantics, evaluated entirely in component layout."""
+    pos = _rollout_positions_soa(mpc, p0, v0, ctrl_soa)    # [H,3,K]
+    if mpc.sample_query == "trilinear":
+        d, _ = get_dist_grad_trilinear(
+            cfg, dist_grid, jnp.moveaxis(pos, 1, -1),
+            out_value=-cfg.trunc_dist if mpc.signed else -1.0)  # [H,K]
+    else:
+        d = _nearest_distance_soa(cfg, dist_grid,
+                                  pos[:, 0], pos[:, 1], pos[:, 2])
+    if mpc.signed:
+        d = jnp.maximum(d, -cfg.trunc_dist)
+    else:
+        d = jnp.where(d < 0, 0.0, d)
+    violation = jnp.maximum(mpc.margin - d, 0.0)           # [H,K]
+    collision = jnp.sum(violation**2, axis=0)              # [K]
+
+    ge = pos - goal[None, :, None]                         # [H,3,K]
+    goal_cost = (jnp.sum(ge[:-1] ** 2, axis=(0, 1))
+                 * mpc.w_goal / max(mpc.horizon, 1))
+    terminal = jnp.sum(ge[-1] ** 2, axis=0) * mpc.w_terminal
+    effort = jnp.sum(ctrl_soa**2, axis=(0, 1)) * mpc.w_effort
+    return mpc.w_collision * collision + goal_cost + terminal + effort
+
+
 def trajectory_cost(
     cfg: FiestaConfig, mpc: MPCConfig, dist_grid, positions, controls, goal,
     trilinear: bool = True,
@@ -138,27 +210,23 @@ def _plan_step_impl(
     """
     h = mpc.horizon
 
-    # ---- MPPI sampling (vmapped over K rollouts) -------------------------
+    # ---- MPPI sampling (component layout: K rides the lane axis) --------
     noise = (
-        jax.random.normal(key, (mpc.n_rollouts, h, 3), jnp.float32)
+        jax.random.normal(key, (h, 3, mpc.n_rollouts), jnp.float32)
         * mpc.sigma
     )
     if constrain is not None:
         noise = constrain(noise)
-    samples = jnp.clip(nominal[None] + noise, -mpc.a_max, mpc.a_max)
+    samples = jnp.clip(nominal[:, :, None] + noise, -mpc.a_max, mpc.a_max)
     if constrain is not None:
         samples = constrain(samples)
 
-    def sample_cost(ctrl):
-        pos = rollout_positions(mpc, p0, v0, ctrl)
-        return trajectory_cost(cfg, mpc, dist_grid, pos, ctrl, goal,
-                               trilinear=mpc.sample_query == "trilinear")
-
-    costs = jax.vmap(sample_cost)(samples)                  # [K]
+    costs = _sample_costs_soa(cfg, mpc, dist_grid, p0, v0, goal,
+                              samples)                      # [K]
 
     beta = jnp.min(costs)
     w = jax.nn.softmax(-(costs - beta) / mpc.temperature)   # [K]
-    mppi_ctrl = jnp.einsum("k,khc->hc", w, samples)
+    mppi_ctrl = jnp.einsum("hck,k->hc", samples, w)
     mppi_ctrl = jnp.clip(mppi_ctrl, -mpc.a_max, mpc.a_max)
 
     # ---- ESDF-gradient refinement (Adam on the control sequence) ---------
@@ -242,10 +310,11 @@ def make_sharded_planner(cfg: FiestaConfig, mpc: MPCConfig, mesh):
             f"axis {axis!r} ({mesh.shape[axis]}) that shards the rollouts")
 
     def constrain(x):
-        # rollout-batched arrays split on K; GSPMD turns the softmax
-        # normalization and the weighted control einsum into psums
+        # rollout-batched arrays split on K (the LAST axis in the
+        # component layout); GSPMD turns the softmax normalization and
+        # the weighted control einsum into psums
         return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+            x, NamedSharding(mesh, P(*([None] * (x.ndim - 1)), axis)))
 
     def sharded(dist_grid, p0, v0, goal, nominal, key):
         dist_grid = jax.lax.with_sharding_constraint(dist_grid, replicated)
