@@ -519,10 +519,16 @@ def carve_free_mask_batch(
 def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:
     """Static shape of the carve box: everything a scan can touch lies
     within max_ray_length of the sensor, so integration cost is independent
-    of map size."""
+    of map size.  The x and y extents round UP to multiples of 8 (sublane
+    tiling) so the in-place counter kernel's DMA windows and block specs
+    are legal (ops/pallas/boxadd.py); a slightly larger box only
+    over-covers."""
     r = int(math.ceil((cfg.max_ray_length + 2 * cfg.resolution)
                       / cfg.resolution)) + 2
-    return tuple(min(g, 2 * r + 1) for g in cfg.grid_shape)
+    bx, by, bz = (min(g, 2 * r + 1) for g in cfg.grid_shape)
+    bx = min(cfg.grid_shape[0], bx + (-bx) % 8)
+    by = min(cfg.grid_shape[1], by + (-by) % 8)
+    return bx, by, bz
 
 
 def _scanline_seeds_prep(cfg: FiestaConfig, points, valid, origin):
@@ -681,6 +687,13 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
         0,
         jnp.array([gx - bx, gy - by, gz - bz]),
     )
+    # align the x/y corners DOWN to the sublane tile (8): the in-place
+    # counter kernel's DMA windows need provably-aligned offsets, and
+    # _carve_box_shape already grew the box's x/y extents to cover the
+    # <= 7-voxel shifts
+    starts = jnp.stack(
+        [(starts[:, 0] // 8) * 8, (starts[:, 1] // 8) * 8,
+         starts[:, 2]], axis=1)
     po_box = po_grid - starts.astype(jnp.float32)
     sx0, sy0, sz0 = (starts[:, j, None] for j in range(3))  # [K,1] i32
 
@@ -781,7 +794,7 @@ def _box_window_mask(cfg, starts, window, box_shape):
 #: (override with FIESTA_BOX_APPLY=padded|rmw for A/B runs).
 import os as _os  # noqa: E402
 
-BOX_APPLY = _os.environ.get("FIESTA_BOX_APPLY", "rmw")
+BOX_APPLY = _os.environ.get("FIESTA_BOX_APPLY", "pallas")
 
 
 def apply_box_counts(hit_cnt, miss_cnt, starts, hitc, missc,
@@ -791,7 +804,18 @@ def apply_box_counts(hit_cnt, miss_cnt, starts, hitc, missc,
     starts [K,3] i32; hitc/missc [K,BX,BY,BZ] u8.  See ``BOX_APPLY``.
     """
     kk = starts.shape[0]
-    if (mode or BOX_APPLY) == "rmw":
+    mode = mode or BOX_APPLY
+    if mode == "pallas":
+        # in-place DMA region-add (ops/pallas/boxadd.py) — the XLA dus
+        # chain costs a fixed ~1.4 ms full-grid select pass per tick;
+        # requires the carve box to span the grid's z extent
+        from .pallas.boxadd import box_add_inplace, box_add_supported
+
+        if (jax.default_backend() == "tpu"
+                and box_add_supported(hitc.shape[1:], hit_cnt.shape)):
+            return box_add_inplace(hit_cnt, miss_cnt, starts, hitc, missc)
+        mode = "rmw"
+    if mode == "rmw":
         box = hitc.shape[1:]
         for i in range(kk):
             s0, s1, s2 = starts[i, 0], starts[i, 1], starts[i, 2]

@@ -1,0 +1,142 @@
+"""Stream-level stage ablation of the production tick (diagnostic).
+
+PERF.md methodology: per-stage marginal cost = (full stream) minus
+(stream with that stage stubbed), measured on the REAL fused_stream
+executor over recorded batches — includes all fusion/overlap effects the
+injected-dependency timing loops miss.  Stubs keep shapes and state flow
+so the rest of the program is unchanged.
+"""
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from fiesta_tpu import configure_compile_cache
+    configure_compile_cache()
+    import jax.numpy as jnp
+    from functools import partial
+
+    from fiesta_tpu import COW_AND_LADY
+    from fiesta_tpu.grid import local_window, occupied_grid
+    from fiesta_tpu.io import replay
+    from fiesta_tpu.ops import fusion, raycast
+    from fiesta_tpu.pipeline import (
+        FiestaPipeline, UpdateStats, fused_batch_step, rebuild_esdf)
+
+    h, w = 192, 256
+    cfg = dataclasses.replace(
+        replay.scale_intrinsics(COW_AND_LADY, h, w),
+        max_points_per_scan=h * w,
+    )
+    world, frames = replay.make_sequence(
+        cfg, n_frames=49, n_boxes=20, seed=0, kind="cloud",
+        height=h, width=w, period=12.0, orbit_radius=5.0,
+    )
+    pipe = FiestaPipeline(cfg, method="scanline")
+    apts, avals, atfs, apos = replay.stage_update_batches(pipe, frames)
+    # warm the map with the first 4 batches (real occupancy content)
+    for i in range(4):
+        pipe.state, _ = fused_batch_step(
+            cfg, pipe.state, apts[i], avals[i], atfs[i], apos[i],
+            method="scanline")
+    pipe.sync_device()
+    state0 = pipe.state
+    sl = slice(4, 16)
+    stream_args = (apts[sl], avals[sl], atfs[sl], apos[sl])
+    n_batches = stream_args[0].shape[0]
+
+    def tick_body(skip, st, pts, vals, tfs, pos):
+        if "splat" in skip:
+            box = raycast._carve_box_shape(cfg)
+            k = pts.shape[0]
+            starts = jnp.zeros((k, 3), jnp.int32) + 10
+            seeds = jnp.zeros((k,) + box, jnp.float32) \
+                + pts[0, 0, 0] * 1e-20
+            hit_b = jnp.zeros((k,) + box, jnp.uint8)
+            epfree_b = hit_b
+            po_box = jnp.zeros((k, 3), jnp.float32) + 50.0
+            rvalid = vals
+        else:
+            starts, po_box, seeds, hit_b, epfree_b, rvalid = \
+                raycast._scanline_seeds_batch(
+                    cfg, pts, vals, tfs[:, :3, 3], transforms=tfs)
+        if "carve" in skip:
+            free = seeds > 1e30
+        else:
+            free = raycast.carve_free_mask_batch(cfg, seeds, po_box)
+        hitc = hit_b
+        missc = jnp.maximum(hit_b, epfree_b) + free.astype(jnp.uint8)
+        if "rmw" in skip:
+            hit_cnt, miss_cnt = st.hit_cnt, st.miss_cnt
+            # keep a data dependency on the boxes so they aren't DCE'd
+            hit_cnt = hit_cnt + hitc[0, 0, 0, 0]
+            miss_cnt = miss_cnt + missc[0, 0, 0, 0]
+        else:
+            hit_cnt, miss_cnt = raycast.apply_box_counts(
+                st.hit_cnt, st.miss_cnt, starts, hitc, missc)
+        if "fusion" in skip:
+            lo, seen = st.logodds, st.seen
+            occ = occupied_grid(cfg, lo)
+            occ = occ ^ (miss_cnt[0, 0, 0] > 200)
+            n_obs = jnp.int32(0)
+        else:
+            fr = fusion.fuse_counts(cfg, lo_ := st.logodds, st.seen,
+                                    hit_cnt, miss_cnt)
+            lo, seen, occ = fr.logodds, fr.seen, fr.occupied
+            n_obs = fr.num_observed if "stats" not in skip else jnp.int32(0)
+        if "edt" in skip:
+            d2 = st.d2 + occ[0, 0, 0]
+            closest = st.closest
+        else:
+            d2, closest = rebuild_esdf(cfg, occ)
+            if closest is None:
+                closest = st.closest
+        st2 = dataclasses.replace(
+            st, logodds=lo, seen=seen, d2=d2, closest=closest,
+            hit_cnt=jnp.zeros_like(hit_cnt),
+            miss_cnt=jnp.zeros_like(miss_cnt))
+        stats = UpdateStats(n_obs, jnp.int32(0), jnp.int32(0),
+                            jnp.int32(0))
+        return st2, stats
+
+    def make_stream(skip):
+        @jax.jit
+        def run(st, pts, vals, tfs, poss):
+            def body(s, inp):
+                p, v, t, q = inp
+                s2, stats = tick_body(skip, s, p, v, t, q)
+                return s2, stats.num_observed
+            s_fin, obs = jax.lax.scan(body, st, (pts, vals, tfs, poss))
+            return s_fin.d2[0, 0, 0] + jnp.sum(obs) \
+                + s_fin.logodds[0, 0, 0].astype(jnp.int32)
+        return run
+
+    def measure(name, skip, reps=3):
+        fn = make_stream(skip)
+        float(fn(state0, *stream_args))   # compile + warm (host readback:
+        ts = []                           # block_until_ready lies, PERF.md)
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(state0, *stream_args))
+            ts.append((time.perf_counter() - t0) / n_batches * 1e3)
+        ms = float(np.median(ts))
+        log(f"{name:<28s} {ms:7.3f} ms/batch   reps={['%.2f' % t for t in ts]}")
+        return ms
+
+    full = measure("FULL stream", ())
+    for stage in ("splat", "carve", "rmw", "fusion", "edt", "stats"):
+        ms = measure(f"minus {stage}", (stage,))
+        log(f"  -> {stage} marginal: {full - ms:+.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
