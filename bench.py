@@ -165,19 +165,42 @@ def main():
     # +-0.4 ms of run-to-run jitter; report the median of 3 full streams.
     st, _ = stream_all(pipe.state)
     jax.block_until_ready(st.d2)
-    # Collect reps until >=3 agree within 1.5x of the fastest (a tunnel
-    # stall inflates individual reps by seconds; stalls are additive
-    # delays, so the fastest rep bounds the true compute time and the
-    # median of the agreeing reps is the honest statistic).
-    reps = []
-    while True:
-        t_stream = time.perf_counter()
-        st, stats = stream_all(st)
-        jax.block_until_ready(st.d2)
-        reps.append(time.perf_counter() - t_stream)
-        clean = [r for r in reps if r <= 1.5 * min(reps)]
-        if len(clean) >= 3 or len(reps) >= 9:
+
+    def measure(state):
+        # Collect reps until >=3 agree within 1.5x of the fastest (a
+        # tunnel stall inflates individual reps by seconds; stalls are
+        # additive delays, so the fastest rep bounds the true compute
+        # time and the median of the agreeing reps is the honest
+        # statistic).
+        reps = []
+        while True:
+            t_stream = time.perf_counter()
+            state, stats = stream_all(state)
+            jax.block_until_ready(state.d2)
+            reps.append(time.perf_counter() - t_stream)
+            clean = [r for r in reps if r <= 1.5 * min(reps)]
+            if len(clean) >= 3 or len(reps) >= 9:
+                return state, stats, reps, clean
+
+    def probe_s() -> float:
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.ones((1000, 1000), jnp.float32)))
+        return time.perf_counter() - t0
+
+    # A UNIFORM tunnel slowdown inflates every rep equally and slips past
+    # the 1.5x filter — so the health gate runs AFTER each measurement
+    # too, and a stalled post-probe triggers a re-measurement instead of
+    # recording garbage (VERDICT r3 #4: BENCH_r03 was captured in a
+    # stall-mode window).
+    for attempt in range(3):
+        st, stats, reps, clean = measure(st)
+        post_probe = probe_s()
+        tunnel_healthy = post_probe < 5.0
+        if tunnel_healthy:
             break
+        log(f"measurement attempt {attempt + 1}: post-probe {post_probe:.1f}s"
+            " (stall mode) — discarding reps and waiting for recovery")
+        wait_until_tunnel_healthy(300.0)
     pipe.state = st
     if len(clean) < len(reps):
         log(f"dropped {len(reps) - len(clean)} stalled reps "
@@ -191,22 +214,21 @@ def main():
         f"{batch_ms:.2f} ms/batch, {batch_ms/3:.2f} ms/frame "
         f"(last tick observed={int(stats.num_observed[-1])})")
     log(Timing.print_table())
-
-    # post-measurement health probe: a UNIFORM tunnel slowdown inflates
-    # every rep equally and slips past the 1.5x filter — re-check and
-    # flag the recorded value if the tunnel is stalled right now
-    t0 = time.perf_counter()
-    float(jnp.sum(jnp.ones((1000, 1000), jnp.float32)))
-    if time.perf_counter() - t0 >= 5.0:
-        log("WARNING: tunnel stalled at measurement time — the recorded "
+    if not tunnel_healthy:
+        log("WARNING: tunnel still stalled after retries — the recorded "
             "value is an upper bound, rerun when healthy")
 
+    clean_ms = sorted(1e3 * r / n_batches for r in clean)
     baseline_ms = 100.0  # reference real-time budget per update batch
     print(json.dumps({
         "metric": "esdf_update_batch_ms_cow_and_lady_scale",
         "value": round(batch_ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / batch_ms, 2),
+        "tunnel_healthy": tunnel_healthy,
+        "tunnel_probe_s": round(post_probe, 2),
+        "rep_spread_ms": [round(clean_ms[0], 2), round(clean_ms[-1], 2)],
+        "reps_used": len(clean),
     }))
 
 

@@ -46,11 +46,16 @@ def _pick_chunk(n: int, target: int) -> int:
 
 def box_add_supported(box_shape, grid_shape) -> bool:
     """Whether the in-place kernel's layout constraints hold (see module
-    docstring); apply_box_counts falls back to the XLA path otherwise."""
+    docstring); apply_box_counts falls back to the XLA path otherwise.
+
+    The gx/gy % 8 conditions mirror ``ops.raycast._aligned_box``: box
+    corners are 8-aligned only on 8-aligned grids, and the kernel's
+    ``start // 8`` offset rebuild silently mis-places unaligned starts —
+    so reject exactly the grids where placement doesn't align."""
     bx, by, bz = box_shape
     gx, gy, gz = grid_shape
     return (bz == gz and by % 8 == 0 and bx % 8 == 0
-            and gz % 16 == 0)
+            and gx % 8 == 0 and gy % 8 == 0 and gz % 16 == 0)
 
 
 def box_add_inplace(cnt_hit, cnt_miss, starts, boxes_hit, boxes_miss,

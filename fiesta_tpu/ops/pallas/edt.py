@@ -66,7 +66,12 @@ def _i16_vector_min_supported() -> bool:
     ("failed to legalize operation 'arith.minsi'" on vector<...xi16>);
     when a toolchain lands support, the windowed min-plus passes
     auto-switch to int16 for t <= _I16_T_MAX (2x VPU lanes).  Cached per
-    process; False on non-TPU backends and on any compile/run failure."""
+    process; False on non-TPU backends and on any compile/run failure.
+
+    The probe runs under ``jax.ensure_compile_time_eval`` so it executes
+    EAGERLY even when first reached while tracing a jitted caller —
+    otherwise the pallas output is a tracer, ``device_get`` raises, and
+    the blanket except would cache a spurious False (ADVICE r3)."""
     global _I16_PROBE
     if _I16_PROBE is not None:
         return _I16_PROBE
@@ -81,13 +86,14 @@ def _i16_vector_min_supported() -> bool:
             a = x_ref[:, :]
             o_ref[:, :] = jnp.minimum(a + np.int16(3), a)
 
-        out = pl.pallas_call(
-            k,
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int16),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(jnp.ones((8, 128), jnp.int16))
-        _I16_PROBE = bool(np.asarray(out)[0, 0] == 1)
+        with jax.ensure_compile_time_eval():
+            out = pl.pallas_call(
+                k,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int16),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(jnp.ones((8, 128), jnp.int16))
+            _I16_PROBE = bool(jax.device_get(out)[0, 0] == 1)
     except Exception:
         _I16_PROBE = False
     return _I16_PROBE

@@ -516,19 +516,71 @@ def carve_free_mask_batch(
     return free
 
 
+def _carve_reach(cfg: FiestaConfig) -> int:
+    """Half-extent r (voxels) of a scan's reach around the sensor voxel:
+    everything a scan can touch lies within max_ray_length (+2 voxel
+    margin for endpoint rounding) of the sensor."""
+    return int(math.ceil((cfg.max_ray_length + 2 * cfg.resolution)
+                         / cfg.resolution)) + 2
+
+
+def _aligned_box(cfg: FiestaConfig) -> bool:
+    """Whether carve-box placement uses 8-aligned x/y corners (required
+    by the in-place Pallas counter kernel's DMA windows,
+    ops/pallas/boxadd.py).  Only sound when the grid's x/y extents are
+    themselves multiples of 8: the +face clamp target ``grid - box`` must
+    stay aligned or the clamp would have to choose between alignment and
+    coverage.  Unaligned grids place boxes unaligned and take the XLA
+    counter-apply path, which has no placement constraints."""
+    return cfg.grid_shape[0] % 8 == 0 and cfg.grid_shape[1] % 8 == 0
+
+
 def _carve_box_shape(cfg: FiestaConfig) -> Tuple[int, int, int]:
-    """Static shape of the carve box: everything a scan can touch lies
-    within max_ray_length of the sensor, so integration cost is independent
-    of map size.  The x and y extents round UP to multiples of 8 (sublane
-    tiling) so the in-place counter kernel's DMA windows and block specs
-    are legal (ops/pallas/boxadd.py); a slightly larger box only
-    over-covers."""
-    r = int(math.ceil((cfg.max_ray_length + 2 * cfg.resolution)
-                      / cfg.resolution)) + 2
-    bx, by, bz = (min(g, 2 * r + 1) for g in cfg.grid_shape)
-    bx = min(cfg.grid_shape[0], bx + (-bx) % 8)
-    by = min(cfg.grid_shape[1], by + (-by) % 8)
-    return bx, by, bz
+    """Static shape of the carve box (integration cost is independent of
+    map size).  In aligned mode the x/y extents are
+    ``round_up(2r+1 + 7, 8)``: corners are floored DOWN to a multiple of
+    8 (a shift of up to 7), so the extent carries >= 7 voxels of
+    high-side slack and the aligned box always covers the unaligned
+    centered reach box — see ``_box_starts`` for the proof obligations.
+    (The round-3 form grew the extent only by ``(-b) % 8`` <= 7 with no
+    relation to the floor shift, silently dropping edge observations when
+    the +face clamp bound — the reference marks every ray voxel
+    unconditionally, include/Fiesta.h:194-278.)"""
+    e = 2 * _carve_reach(cfg) + 1
+    gx, gy, gz = cfg.grid_shape
+    if _aligned_box(cfg):
+        ea = -(-(e + 7) // 8) * 8
+        return min(gx, ea), min(gy, ea), min(gz, e)
+    return min(gx, e), min(gy, e), min(gz, e)
+
+
+def _box_starts(cfg: FiestaConfig, po_grid: jax.Array) -> jax.Array:
+    """Carve-box corner placement for sensor grid position(s) ``po_grid``
+    [..., 3] (float, voxel units).  Guarantees, per axis:
+
+      * the box ``[start, start + box_extent)`` covers the unaligned
+        centered reach box ``clip([round(po)-r, round(po)+r], grid)``;
+      * the box lies inside the grid;
+      * (aligned mode) x/y starts are multiples of 8.
+
+    Order matters: floor-to-8 happens BEFORE the face clamp.  In aligned
+    mode grid and box x/y extents are both multiples of 8, so the clamp
+    target ``grid - box`` is aligned and clamping preserves alignment;
+    coverage survives because flooring shifts the start down by s <= 7
+    while the extent carries >= 7 voxels of slack (box top >= unaligned
+    top), and a binding +face clamp only moves the start further down
+    while pinning the box top at the grid face (>= any in-grid reach).
+    """
+    e = 2 * _carve_reach(cfg) + 1
+    gx, gy, gz = cfg.grid_shape
+    bx, by, bz = _carve_box_shape(cfg)
+    grid = jnp.array([gx, gy, gz], jnp.int32)
+    ex = jnp.minimum(grid, e)
+    u = jnp.clip(jnp.round(po_grid).astype(jnp.int32) - ex // 2,
+                 0, grid - ex)
+    if _aligned_box(cfg):
+        u = jnp.where(jnp.array([True, True, False]), (u // 8) * 8, u)
+    return jnp.clip(u, 0, jnp.array([gx - bx, gy - by, gz - bz], jnp.int32))
 
 
 def _scanline_seeds_prep(cfg: FiestaConfig, points, valid, origin):
@@ -557,12 +609,7 @@ def _scanline_seeds_prep(cfg: FiestaConfig, points, valid, origin):
 
     map_origin = jnp.asarray(cfg.origin, jnp.float32)
     po_grid = (origin - map_origin) / cfg.resolution - 0.5
-    starts = jnp.clip(
-        jnp.round(po_grid).astype(jnp.int32)
-        - jnp.array([bx // 2, by // 2, bz // 2]),
-        0,
-        jnp.array([gx - bx, gy - by, gz - bz]),
-    )
+    starts = _box_starts(cfg, po_grid)
     po_box = po_grid - starts.astype(jnp.float32)
 
     # Endpoint voxels in box coordinates.
@@ -678,22 +725,11 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
         is_hit, 1.0, cfg.max_ray_length / jnp.maximum(length, 1e-9))
     cx, cy, cz = ox + dx * scale, oy + dy * scale, oz + dz * scale
 
-    # --- box placement (per scan, [K,3]) ---
+    # --- box placement (per scan, [K,3]): floor-to-8 BEFORE face clamp,
+    # extent slack >= 7 — see _box_starts for the coverage guarantee
     map_origin = jnp.asarray(cfg.origin, jnp.float32)
     po_grid = (origins - map_origin) / res - 0.5
-    starts = jnp.clip(
-        jnp.round(po_grid).astype(jnp.int32)
-        - jnp.array([bx // 2, by // 2, bz // 2]),
-        0,
-        jnp.array([gx - bx, gy - by, gz - bz]),
-    )
-    # align the x/y corners DOWN to the sublane tile (8): the in-place
-    # counter kernel's DMA windows need provably-aligned offsets, and
-    # _carve_box_shape already grew the box's x/y extents to cover the
-    # <= 7-voxel shifts
-    starts = jnp.stack(
-        [(starts[:, 0] // 8) * 8, (starts[:, 1] // 8) * 8,
-         starts[:, 2]], axis=1)
+    starts = _box_starts(cfg, po_grid)
     po_box = po_grid - starts.astype(jnp.float32)
     sx0, sy0, sz0 = (starts[:, j, None] for j in range(3))  # [K,1] i32
 
@@ -783,6 +819,10 @@ def _box_window_mask(cfg, starts, window, box_shape):
 
 
 #: counter-application strategy for the batched integrator:
+#:   "pallas" — in-place DMA region-add (ops/pallas/boxadd.py): HBM
+#:              traffic is exactly the box regions; the DEFAULT on TPU
+#:              (falls back to "rmw" off-TPU or when the kernel's layout
+#:              constraints don't hold, box_add_supported)
 #:   "rmw"    — K sequential slice read-modify-writes (round-2 form)
 #:   "padded" — pad each box onto a zero grid, ADD in uint16, saturate
 #:              ONCE.  Bit-identical (saturating u8 addition of
@@ -790,11 +830,12 @@ def _box_window_mask(cfg, starts, window, box_shape):
 #:              accumulates in a wide type), but expressed as elementwise
 #:              adds XLA can fuse into the downstream fusion pass instead
 #:              of 4K dynamic-slice ops.
-#: tests assert the two agree; the default follows on-chip measurement
-#: (override with FIESTA_BOX_APPLY=padded|rmw for A/B runs).
+#: tests assert all modes agree; the default follows on-chip measurement
+#: (override with FIESTA_BOX_APPLY=pallas|rmw|padded for A/B runs).
 import os as _os  # noqa: E402
 
 BOX_APPLY = _os.environ.get("FIESTA_BOX_APPLY", "pallas")
+_BOX_APPLY_MODES = ("pallas", "rmw", "padded")
 
 
 def apply_box_counts(hit_cnt, miss_cnt, starts, hitc, missc,
@@ -805,6 +846,10 @@ def apply_box_counts(hit_cnt, miss_cnt, starts, hitc, missc,
     """
     kk = starts.shape[0]
     mode = mode or BOX_APPLY
+    if mode not in _BOX_APPLY_MODES:
+        raise ValueError(
+            f"unknown box-apply mode {mode!r} (FIESTA_BOX_APPLY?); "
+            f"expected one of {_BOX_APPLY_MODES}")
     if mode == "pallas":
         # in-place DMA region-add (ops/pallas/boxadd.py) — the XLA dus
         # chain costs a fixed ~1.4 ms full-grid select pass per tick;

@@ -743,18 +743,24 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
                 & ((ys >= wmin[1]) & (ys <= wmax[1]))[None, :, None] \
                 & ((zs >= wmin[2]) & (zs <= wmax[2]))[None, None, :]
 
-        starts, hit32, miss32, n_rays, n_ep = raycast.scanline_batch_boxes(
+        starts, hitc, missc, n_rays, n_ep = raycast.scanline_batch_boxes(
             cfg, points, valids, transforms[:, :3, 3], win,
             transforms=transforms,
         )
         # every slab needs every scan's box: gather the per-scan
-        # contributions (u8 boxes; world-size-independent traffic)
+        # contributions (u8 boxes; world-size-independent traffic).  This
+        # all-gather is the tick's dominant collective (PERF.md), so the
+        # two counter boxes ride ONE packed u8: hitc in {0,1}, missc =
+        # max(hit, epfree) + free in {0,1,2} — hit*4 | miss, halving the
+        # gathered bytes vs separate hit/miss gathers.
         starts = jax.lax.all_gather(starts, "x", tiled=True)
-        hit32 = jax.lax.all_gather(hit32, "x", tiled=True)
-        miss32 = jax.lax.all_gather(miss32, "x", tiled=True)
+        packed = jax.lax.all_gather(hitc * jnp.uint8(4) + missc, "x",
+                                    tiled=True)
         for i in range(starts.shape[0]):
-            hit_cnt = apply_box_local(hit_cnt, hit32[i], starts[i], x0)
-            miss_cnt = apply_box_local(miss_cnt, miss32[i], starts[i], x0)
+            hit_cnt = apply_box_local(hit_cnt, packed[i] >> 2,
+                                      starts[i], x0)
+            miss_cnt = apply_box_local(miss_cnt, packed[i] & jnp.uint8(3),
+                                       starts[i], x0)
 
         fr = fusion.fuse_counts(cfg, logodds, seen, hit_cnt, miss_cnt,
                                 window_mask=wmask)

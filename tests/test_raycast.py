@@ -398,3 +398,121 @@ def test_apply_box_counts_modes_agree_with_saturation():
                                  jnp.asarray(missc), mode="padded")
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+# ---------------------------------------------------------------------------
+# Carve-box placement: clamp-binding coverage (round-3 regression class)
+# ---------------------------------------------------------------------------
+
+def _coverage_case(cfg, positions):
+    """Assert _box_starts covers the unaligned centered reach box for
+    every sensor position, stays in-grid, and (aligned grids) keeps
+    8-aligned x/y corners."""
+    import jax
+
+    r = raycast._carve_reach(cfg)
+    e = 2 * r + 1
+    box = np.array(raycast._carve_box_shape(cfg))
+    grid = np.array(cfg.grid_shape)
+    po = (np.asarray(positions, np.float32)
+          - np.asarray(cfg.origin, np.float32)) / cfg.resolution - 0.5
+    starts = np.asarray(jax.jit(
+        lambda p: raycast._box_starts(cfg, p))(jnp.asarray(po)))
+
+    ex = np.minimum(grid, e)
+    want_lo = np.clip(np.round(po).astype(np.int64) - ex // 2, 0, grid - ex)
+    want_hi = want_lo + ex            # the unaligned centered reach box
+
+    assert (starts >= 0).all() and (starts + box <= grid).all(), (
+        "box leaves the grid")
+    assert (starts <= want_lo).all() and (starts + box >= want_hi).all(), (
+        f"coverage hole: starts={starts[(starts > want_lo).any(1) | (starts + box < want_hi).any(1)]}")
+    if raycast._aligned_box(cfg):
+        assert (starts[:, :2] % 8 == 0).all(), "unaligned x/y corner"
+
+
+def test_box_placement_covers_reach_when_clamp_binds():
+    """Sensor near every +face / corner (where the face clamp binds) and
+    at every floor-shift residue mod 8: the aligned box must still cover
+    the full reach box.  Pins the round-3 regression (VERDICT r3: clamp
+    then floor lost up to ~9 planes of coverage)."""
+    cfg = FiestaConfig(resolution=0.1, origin=(0.0, 0.0, 0.0),
+                       map_size=(20.0, 20.0, 3.0),
+                       min_ray_length=0.2, max_ray_length=1.0)
+    assert raycast._aligned_box(cfg)
+    gx, gy, gz = (20.0, 20.0, 3.0)
+    pos = []
+    # dense sweep along the +x/+y edge region (all alignment residues x
+    # all clamp depths), plus corners, plus outside-the-grid sensors
+    for dx in np.arange(0.0, 4.05, 0.15):
+        pos.append((gx - dx, gy - 0.3, 1.5))
+        pos.append((gx - 0.3, gy - dx, 1.5))
+        pos.append((gx - dx, gy - dx, gz - 0.2))
+    for c in [(0.1, 0.1, 0.1), (gx - 0.1, gy - 0.1, gz - 0.1),
+              (gx + 0.5, gy + 0.5, 1.0), (-0.5, gy - 0.2, 0.5),
+              (gx / 2, gy / 2, 1.5)]:
+        pos.append(c)
+    rng = np.random.default_rng(7)
+    pos.extend(rng.uniform((-1, -1, -0.5), (21, 21, 3.5), (64, 3)))
+    _coverage_case(cfg, pos)
+
+
+def test_box_placement_covers_reach_unaligned_grid():
+    """Grids with x/y extents not divisible by 8 take the unaligned
+    placement (and the Pallas apply is refused for them)."""
+    from fiesta_tpu.ops.pallas.boxadd import box_add_supported
+
+    cfg = FiestaConfig(resolution=0.1, origin=(0.0, 0.0, 0.0),
+                       map_size=(19.5, 19.7, 3.0),
+                       min_ray_length=0.2, max_ray_length=1.0)
+    assert not raycast._aligned_box(cfg)
+    assert not box_add_supported(raycast._carve_box_shape(cfg),
+                                 cfg.grid_shape)
+    rng = np.random.default_rng(11)
+    pos = list(rng.uniform((-1, -1, -0.5), (20.5, 20.7, 3.5), (64, 3)))
+    pos += [(19.4, 19.6, 1.0), (0.05, 19.6, 2.9), (19.4, 0.05, 0.1)]
+    _coverage_case(cfg, pos)
+
+
+def test_endpoint_hits_survive_near_max_ray_at_faces():
+    """ADVICE r3 (medium): with grid >> box, sensors that bind the +face
+    clamp, and endpoints at 0.85-0.999x max_ray_length, every in-grid hit
+    endpoint must land in hit_cnt — the round-3 regression silently
+    dropped these (reference marks every endpoint, Fiesta.h:213-215)."""
+    import jax
+
+    cfg = FiestaConfig(resolution=0.1, origin=(0.0, 0.0, 0.0),
+                       map_size=(20.0, 20.0, 3.0),
+                       min_ray_length=0.2, max_ray_length=1.0)
+    rng = np.random.default_rng(29)
+    n = 500
+    for sensor in [(19.7, 19.7, 1.5), (19.2, 10.0, 1.4), (10.0, 19.9, 1.5),
+                   (0.2, 19.8, 1.5), (19.8, 0.2, 1.5)]:
+        origin = np.asarray(sensor, np.float32)
+        dirs = rng.normal(size=(n, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        r = rng.uniform(0.85, 0.999, n) * cfg.max_ray_length
+        pts = (origin + dirs * r[:, None]).astype(np.float32)
+
+        res = jax.jit(lambda p, o: raycast.integrate_scan_scanline(
+            cfg, jnp.zeros(cfg.grid_shape, jnp.int32),
+            jnp.zeros(cfg.grid_shape, jnp.int32),
+            p, jnp.ones(len(pts), bool), o))(
+                jnp.asarray(pts), jnp.asarray(origin))
+        hit = np.asarray(res.hit_cnt)
+
+        vox = np.floor(pts / cfg.resolution).astype(int)
+        ingrid = ((vox >= 0) & (vox < np.array(cfg.grid_shape))).all(1)
+        missed = [tuple(v) for v in vox[ingrid] if hit[tuple(v)] == 0]
+        assert not missed, (
+            f"sensor {sensor}: {len(missed)}/{ingrid.sum()} in-grid hit "
+            f"endpoints dropped, e.g. {missed[:5]}")
+
+
+def test_apply_box_counts_rejects_unknown_mode():
+    import pytest as _pytest
+
+    z = jnp.zeros((8, 8, 8), jnp.uint8)
+    with _pytest.raises(ValueError, match="unknown box-apply mode"):
+        raycast.apply_box_counts(z, z, jnp.zeros((1, 3), jnp.int32),
+                                 z[None], z[None], mode="palas")
