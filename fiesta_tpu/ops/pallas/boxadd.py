@@ -34,6 +34,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_U8_PROBE = None
+
+
+def _u8_vector_sat_add_supported() -> bool:
+    """Feature-probe: can Mosaic legalize vector uint8 add + compare +
+    select inside a Pallas kernel?  If so the region-add runs u8-native
+    (3 ops: add, wrap-compare, select) instead of through int32
+    conversions (5 ops incl. two converts) — the kernel is compute-bound,
+    not DMA-bound, so op count is the cost.  Saturation via wrap
+    detection (s = a + b; s < a iff the u8 add wrapped) is bit-identical
+    to min(a + b, 255) in a wide type for non-negative increments.
+    Probed eagerly (jax.ensure_compile_time_eval) so a first call while
+    tracing cannot cache a spurious False."""
+    global _U8_PROBE
+    if _U8_PROBE is not None:
+        return _U8_PROBE
+    if jax.default_backend() != "tpu":
+        _U8_PROBE = False
+        return False
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def k(x_ref, o_ref):
+            a = x_ref[:, :]
+            s = a + jnp.uint8(10)
+            o_ref[:, :] = jnp.where(s < a, jnp.uint8(255), s)
+
+        with jax.ensure_compile_time_eval():
+            out = pl.pallas_call(
+                k,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint8),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(jnp.full((8, 128), 250, jnp.uint8))
+            _U8_PROBE = bool(jax.device_get(out)[0, 0] == 255)
+    except Exception:
+        _U8_PROBE = False
+    return _U8_PROBE
+
 
 def _pick_chunk(n: int, target: int) -> int:
     """Largest multiple of 8 dividing ``n``, at most ``target`` (block
@@ -59,7 +99,7 @@ def box_add_supported(box_shape, grid_shape) -> bool:
 
 
 def box_add_inplace(cnt_hit, cnt_miss, starts, boxes_hit, boxes_miss,
-                    interpret: bool = False):
+                    interpret: bool = False, force_u8: bool = False):
     """cnt[sx:sx+bx, sy:sy+by, :] (+)= box[k], saturating at 255, for each
     scan k in order; both counters in one kernel (shared grid walk).
 
@@ -74,6 +114,8 @@ def box_add_inplace(cnt_hit, cnt_miss, starts, boxes_hit, boxes_miss,
     gx, gy, gz = cnt_hit.shape
     k, bx, by, bz = boxes_hit.shape
     assert box_add_supported((bx, by, bz), (gx, gy, gz))
+    u8_native = force_u8 or (not interpret
+                             and _u8_vector_sat_add_supported())
     ch = _pick_chunk(bx, 80)
     n_chunks = bx // ch
     w = by * gz                       # flat window extent (multiple of 128)
@@ -106,12 +148,20 @@ def box_add_inplace(cnt_hit, cnt_miss, starts, boxes_hit, boxes_miss,
         cp_h.wait()
         cp_m.wait()
 
-        vh[:] = jnp.minimum(
-            vh[:].astype(jnp.int32) + bh_ref[0].astype(jnp.int32), 255
-        ).astype(jnp.uint8)
-        vm[:] = jnp.minimum(
-            vm[:].astype(jnp.int32) + bm_ref[0].astype(jnp.int32), 255
-        ).astype(jnp.uint8)
+        if u8_native:
+            a, b = vh[:], bh_ref[0]
+            s = a + b
+            vh[:] = jnp.where(s < a, jnp.uint8(255), s)
+            a, b = vm[:], bm_ref[0]
+            s = a + b
+            vm[:] = jnp.where(s < a, jnp.uint8(255), s)
+        else:
+            vh[:] = jnp.minimum(
+                vh[:].astype(jnp.int32) + bh_ref[0].astype(jnp.int32), 255
+            ).astype(jnp.uint8)
+            vm[:] = jnp.minimum(
+                vm[:].astype(jnp.int32) + bm_ref[0].astype(jnp.int32), 255
+            ).astype(jnp.uint8)
 
         cp_h = pltpu.make_async_copy(vh, win_h, sem_h)
         cp_m = pltpu.make_async_copy(vm, win_m, sem_m)

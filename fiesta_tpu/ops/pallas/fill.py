@@ -1,0 +1,63 @@
+"""Pallas TPU kernel: bandwidth-rate zero-fill for large scatter targets.
+
+The endpoint splat scatters ~150k packed observations into a fresh
+K x BX*BY*BZ f32 target every tick (ops.raycast._scanline_seeds_batch).
+XLA materializes the `jnp.zeros` operand as a full elementwise pass at
+the TPU's element rate (~9 Gelem/s) — measured ~1.2 ms for the 11.2
+M-element cow-scale target (PERF.md round-3 ablation), ~10x the cost of
+actually writing the bytes.  The same element-rate wall the boxadd
+kernel killed for the counter apply.
+
+This kernel emits the zeros as plain vector stores + DMA: HBM sees one
+stream of zero bytes at write bandwidth.  The scatter then updates the
+buffer; XLA aliases the (single-use) kernel output into the scatter
+in-place, so no extra copy pass appears (verified in the optimized HLO:
+the fusion consuming this custom-call is the scatter itself).
+
+Falls back to `jnp.zeros` off-TPU or when the element count doesn't
+factor into legal tiles (callers never need to care).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _chunk_rows(rows: int, target: int) -> int:
+    """Largest divisor of ``rows`` that is a multiple of 8 and <= target
+    (f32 tiles are (8, 128): block sublane counts must divide out)."""
+    b = min(rows, target) // 8 * 8
+    while b >= 8:
+        if rows % b == 0:
+            return b
+        b -= 8
+    return 0
+
+
+def zeros_f32(n: int) -> jax.Array:
+    """A length-``n`` f32 zero vector, written at HBM bandwidth on TPU.
+
+    Semantically identical to ``jnp.zeros((n,), jnp.float32)``.
+    """
+    if jax.default_backend() != "tpu" or n % 128:
+        return jnp.zeros((n,), jnp.float32)
+    rows = n // 128
+    ch = _chunk_rows(rows, 4096)
+    if not ch:
+        return jnp.zeros((n,), jnp.float32)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(o_ref):
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // ch,),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        out_specs=pl.BlockSpec((ch, 128), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )()
+    return out.reshape(n)

@@ -413,11 +413,17 @@ def _carve_free_tpu(cfg: FiestaConfig, seeds, po, interpret: bool = False):
     o_x = xs[None] - po[:, 0, None]    # [K, BX]
     o_y = ys[None] - po[:, 1, None]    # [K, BY]
     o_z = zs[None] - po[:, 2, None]    # [K, BZ]
-    po_x = jnp.stack([po[:, 0], po[:, 1], po[:, 2]])   # [3, K]
-    po_y = jnp.stack([po[:, 1], po[:, 0], po[:, 2]])
+    # x/y orientations carry (c2=z, c3=y|x): putting the SHORT z axis on
+    # sublanes and the long axis on lanes lifts lane utilization from
+    # bz/128 (80/128 = 62.5% at cow scale) to bx mod-256 packing
+    # (216/256 = 84%) — the kernel is symmetric in (c2, c3) given swapped
+    # tie rules / offset rows (PERF.md round 4 for the measured effect)
+    po_x = jnp.stack([po[:, 0], po[:, 2], po[:, 1]])   # [3, K]
+    po_y = jnp.stack([po[:, 1], po[:, 2], po[:, 0]])
     po_z = jnp.stack([po[:, 2], po[:, 0], po[:, 1]])
-    sy = seeds.transpose(0, 2, 1, 3)
-    sz = seeds.transpose(0, 3, 1, 2)
+    sx = seeds.transpose(0, 1, 3, 2)   # [K, BX, BZ, BY]
+    sy = seeds.transpose(0, 2, 3, 1)   # [K, BY, BZ, BX]
+    sz = seeds.transpose(0, 3, 1, 2)   # [K, BZ, BX, BY]
     kw = dict(res=cfg.resolution, min_ray=cfg.min_ray_length,
               max_ray=cfg.max_ray_length, interpret=interpret)
 
@@ -425,18 +431,18 @@ def _carve_free_tpu(cfg: FiestaConfig, seeds, po, interpret: bool = False):
     # is the max-magnitude one, ties broken x > y > z
     if bx == by:
         fx_f, fx_r, fy_f, fy_r = octant_free_sweep_pallas(
-            [seeds, sy], [po_x, po_y], [o_y, o_x], [o_z, o_z],
-            [(True, True), (False, True)], **kw)
+            [sx, sy], [po_x, po_y], [o_z, o_z], [o_y, o_x],
+            [(True, True), (True, False)], **kw)
     else:
         fx_f, fx_r = octant_free_sweep_pallas(
-            [seeds], [po_x], [o_y], [o_z], [(True, True)], **kw)
+            [sx], [po_x], [o_z], [o_y], [(True, True)], **kw)
         fy_f, fy_r = octant_free_sweep_pallas(
-            [sy], [po_y], [o_x], [o_z], [(False, True)], **kw)
+            [sy], [po_y], [o_z], [o_x], [(True, False)], **kw)
     fz_f, fz_r = octant_free_sweep_pallas(
         [sz], [po_z], [o_x], [o_y], [(False, False)], **kw)
 
-    free = (fx_f | fx_r) \
-        | (fy_f | fy_r).transpose(0, 2, 1, 3) \
+    free = (fx_f | fx_r).transpose(0, 1, 3, 2) \
+        | (fy_f | fy_r).transpose(0, 3, 1, 2) \
         | (fz_f | fz_r).transpose(0, 2, 3, 1)
     return free > 0
 
@@ -780,8 +786,13 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
     lin_w = sxx * (by * bz) + syy * bz + szz
 
     biglin = lin_w + (jnp.arange(k, dtype=jnp.int32) * nb)[:, None]
+    # scatter target init via the bandwidth-rate Pallas fill: XLA's zeros
+    # materialization is element-rate-bound (~1.2 ms at cow scale for
+    # 11.2 M elements, PERF.md r3 ablation); the kernel output aliases
+    # into the scatter in place
+    from .pallas.fill import zeros_f32
     packed = (
-        jnp.zeros((k * nb,), jnp.float32)
+        zeros_f32(k * nb)
         .at[jnp.where(rvalid, biglin, k * nb).ravel()]
         .max(packed_val.ravel(), mode="drop")
         .reshape(k, bx, by, bz)

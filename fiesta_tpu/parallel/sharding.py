@@ -704,6 +704,13 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     lx = gx // n
     rebuild_local = _local_rebuild_esdf(cfg, n)
     bx, by, bz = raycast._carve_box_shape(cfg)
+    from ..ops.pallas.fuse import fuse_counts_pallas, fuse_supported
+    from ..pipeline import _FUSE_IMPL
+
+    use_pallas_fuse = (
+        _FUSE_IMPL == "pallas" and cfg.global_update
+        and jax.default_backend() == "tpu"
+        and fuse_supported((lx,) + cfg.grid_shape[1:]))
 
     def apply_box_local(cnt_local, boxc, start, x0):
         """Add a carve-box contribution to the slab it intersects.
@@ -762,22 +769,40 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
             miss_cnt = apply_box_local(miss_cnt, packed[i] & jnp.uint8(3),
                                        starts[i], x0)
 
-        fr = fusion.fuse_counts(cfg, logodds, seen, hit_cnt, miss_cnt,
-                                window_mask=wmask)
-        d2, new_closest = rebuild_local(fr.occupied, x0)
+        if use_pallas_fuse:
+            # same single-pass kernel as the single-device tick
+            # (ops/pallas/fuse.py; bit-identical arithmetic to
+            # fuse_counts), on the local slab — stats partials psum'd
+            on, off_eq = ((cfg.min_occupancy_log, False)
+                          if cfg.probabilistic else (1.0, True))
+            new_lo, new_seen, occ, hit0, miss0, n_obs, n_ins, n_del = \
+                fuse_counts_pallas(
+                    logodds, seen, hit_cnt, miss_cnt,
+                    l_hit=cfg.prob_hit_log, l_miss=cfg.prob_miss_log,
+                    clamp_min=cfg.clamp_min_log,
+                    clamp_max=cfg.clamp_max_log,
+                    occ_thresh=on, occ_is_eq=off_eq,
+                )
+        else:
+            fr = fusion.fuse_counts(cfg, logodds, seen, hit_cnt, miss_cnt,
+                                    window_mask=wmask)
+            new_lo, new_seen, occ = fr.logodds, fr.seen, fr.occupied
+            hit0 = jnp.zeros_like(hit_cnt)
+            miss0 = jnp.zeros_like(miss_cnt)
+            n_obs = fr.num_observed
+            n_ins = jnp.sum(fr.insert_mask, dtype=jnp.int32)
+            n_del = jnp.sum(fr.delete_mask, dtype=jnp.int32)
+        d2, new_closest = rebuild_local(occ, x0)
         if new_closest is not None:
             closest = new_closest
 
         stats = UpdateStats(
-            num_observed=jax.lax.psum(fr.num_observed, "x"),
-            num_inserted=jax.lax.psum(
-                jnp.sum(fr.insert_mask, dtype=jnp.int32), "x"),
-            num_deleted=jax.lax.psum(
-                jnp.sum(fr.delete_mask, dtype=jnp.int32), "x"),
+            num_observed=jax.lax.psum(n_obs, "x"),
+            num_inserted=jax.lax.psum(n_ins, "x"),
+            num_deleted=jax.lax.psum(n_del, "x"),
             num_sweeps=jnp.int32(0),
         )
-        return (fr.logodds, fr.seen, jnp.zeros_like(hit_cnt),
-                jnp.zeros_like(miss_cnt), d2, closest, stats)
+        return (new_lo, new_seen, hit0, miss0, d2, closest, stats)
 
     s3 = P("x", None, None)
     s4 = P(None, "x", None, None)

@@ -45,7 +45,19 @@ from .grid import (
 )
 from .ops import esdf, fusion, raycast
 from .ops.depth import depth_to_cloud, pose_to_matrix
+from .ops.pallas.fuse import fuse_counts_pallas, fuse_supported
 from .timing import Timer
+
+#: fusion drain implementation for the rebuild tick:
+#:   "pallas" — single-pass in-place kernel (ops/pallas/fuse.py); TPU
+#:              rebuild-mode global updates only, falls back otherwise
+#:   "xla"    — the elementwise fuse_counts chain
+#: override with FIESTA_FUSE=xla for A/B runs.
+import os as _os  # noqa: E402
+
+_FUSE_IMPL = _os.environ.get("FIESTA_FUSE", "pallas")
+if _FUSE_IMPL not in ("pallas", "xla"):
+    raise ValueError(f"FIESTA_FUSE={_FUSE_IMPL!r}: expected pallas|xla")
 
 
 #: integrator registry shared by the single-scan and batched paths
@@ -195,6 +207,34 @@ def esdf_update(
         wmask = window_mask(cfg, wmin, wmax)
     else:
         wmask = None
+
+    if (_FUSE_IMPL == "pallas" and cfg.esdf_mode == "rebuild"
+            and wmask is None and jax.default_backend() == "tpu"
+            and fuse_supported(cfg.grid_shape)):
+        # single-pass Pallas drain (ops/pallas/fuse.py): log-odds/seen in
+        # place, EDT-ready u8 occupancy out, counters re-zeroed in place,
+        # stats as in-kernel partial sums — the XLA chain costs ~1.6 ms
+        # of full-grid passes at cow scale (PERF.md r3), ~5x its
+        # bandwidth bound.  Bit-identical arithmetic; the rebuild path
+        # never materializes insert/delete masks (counts suffice).
+        on, off_eq = ((cfg.min_occupancy_log, False) if cfg.probabilistic
+                      else (1.0, True))
+        new_lo, seen, occ, hit0, miss0, n_obs, n_ins, n_del = \
+            fuse_counts_pallas(
+                state.logodds, state.seen, state.hit_cnt, state.miss_cnt,
+                l_hit=cfg.prob_hit_log, l_miss=cfg.prob_miss_log,
+                clamp_min=cfg.clamp_min_log, clamp_max=cfg.clamp_max_log,
+                occ_thresh=on, occ_is_eq=off_eq,
+            )
+        d2, closest = rebuild_esdf(cfg, occ)
+        if closest is None:
+            closest = state.closest
+        return (
+            MapState(logodds=new_lo, d2=d2, closest=closest, seen=seen,
+                     hit_cnt=hit0, miss_cnt=miss0),
+            UpdateStats(num_observed=n_obs, num_inserted=n_ins,
+                        num_deleted=n_del, num_sweeps=jnp.int32(0)),
+        )
 
     fr = fusion.fuse_counts(
         cfg, state.logodds, state.seen, state.hit_cnt, state.miss_cnt,

@@ -54,7 +54,7 @@ def main():
     stream_args = (apts[sl], avals[sl], atfs[sl], apos[sl])
     n_batches = stream_args[0].shape[0]
 
-    def tick_body(skip, st, pts, vals, tfs, pos):
+    def tick_body(skip, st, pts, vals, tfs, pos, apply_mode=None):
         if "splat" in skip:
             box = raycast._carve_box_shape(cfg)
             k = pts.shape[0]
@@ -82,7 +82,8 @@ def main():
             miss_cnt = miss_cnt + missc[0, 0, 0, 0]
         else:
             hit_cnt, miss_cnt = raycast.apply_box_counts(
-                st.hit_cnt, st.miss_cnt, starts, hitc, missc)
+                st.hit_cnt, st.miss_cnt, starts, hitc, missc,
+                mode=apply_mode)
         if "fusion" in skip:
             lo, seen = st.logodds, st.seen
             occ = occupied_grid(cfg, lo)
@@ -132,10 +133,53 @@ def main():
         log(f"{name:<28s} {ms:7.3f} ms/batch   reps={['%.2f' % t for t in ts]}")
         return ms
 
-    full = measure("FULL stream", ())
-    for stage in ("splat", "carve", "rmw", "fusion", "edt", "stats"):
-        ms = measure(f"minus {stage}", (stage,))
-        log(f"  -> {stage} marginal: {full - ms:+.3f} ms")
+    probes = set(sys.argv[1:])
+    if "--ab" in probes:
+        # TPU A/B (VERDICT r3 #1 done-criterion): the pallas in-place
+        # region-add vs the XLA slice-RMW chain must evolve the map
+        # BIT-identically over the real stream at cow scale.
+        def run_full_state(apply_mode):
+            @jax.jit
+            def run(st, pts, vals, tfs, poss):
+                def body(s, inp):
+                    p, v, t, q = inp
+                    s2, _ = tick_body((), s, p, v, t, q,
+                                      apply_mode=apply_mode)
+                    return s2, ()
+                s_fin, _ = jax.lax.scan(body, st,
+                                        (pts, vals, tfs, poss))
+                return s_fin
+            out = run(state0, *stream_args)
+            jax.block_until_ready(out.d2)
+            return out
+
+        a = run_full_state("pallas")
+        b = run_full_state("rmw")
+        ab_ok = True
+        for f in ("logodds", "seen", "d2", "closest"):
+            x = np.asarray(getattr(a, f))
+            y = np.asarray(getattr(b, f))
+            neq = int((x != y).sum())
+            ab_ok &= neq == 0
+            log(f"A/B pallas-vs-rmw {f}: "
+                f"{'BIT-EQUAL' if neq == 0 else f'{neq} MISMATCHES'}")
+        log(f"A/B RESULT: {'PASS' if ab_ok else 'FAIL'}")
+
+    if "--zeros" in probes:
+        # splat target init: bandwidth-rate pallas fill vs XLA zeros
+        from fiesta_tpu.ops.pallas import fill
+        orig = fill.zeros_f32
+        pz = measure("FULL (pallas zero-fill)", ())
+        fill.zeros_f32 = lambda n: jnp.zeros((n,), jnp.float32)
+        xz = measure("FULL (xla zeros)", ())
+        fill.zeros_f32 = orig
+        log(f"  -> pallas fill saves {xz - pz:+.3f} ms/batch")
+
+    if not probes or "--stages" in probes:
+        full = measure("FULL stream", ())
+        for stage in ("splat", "carve", "rmw", "fusion", "edt", "stats"):
+            ms = measure(f"minus {stage}", (stage,))
+            log(f"  -> {stage} marginal: {full - ms:+.3f} ms")
 
 
 if __name__ == "__main__":

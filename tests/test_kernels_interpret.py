@@ -123,3 +123,101 @@ def test_closest_full_transform_interpret():
     d2_x, cl_x = edt.truncated_edt_d2_closest(occ, t)
     np.testing.assert_array_equal(np.asarray(d2_k), np.asarray(d2_x))
     np.testing.assert_array_equal(np.asarray(cl_k), np.asarray(cl_x))
+
+
+def test_zeros_f32_fallback_and_factorization():
+    """zeros_f32 == jnp.zeros for awkward and friendly sizes (CPU exercises
+    the fallback; the TPU kernel path is covered by the bench A/B)."""
+    import numpy as np
+
+    from fiesta_tpu.ops.pallas.fill import _chunk_rows, zeros_f32
+
+    for n in (128, 11197440, 127, 8 * 128 * 3 * 5):
+        z = np.asarray(zeros_f32(n))
+        assert z.shape == (n,) and z.dtype == np.float32
+        assert not z.any()
+    # chunk rows must divide the row count and be a multiple of 8
+    for rows in (87480, 8, 16, 1000, 4096):
+        ch = _chunk_rows(rows, 4096)
+        if ch:
+            assert rows % ch == 0 and ch % 8 == 0
+    assert _chunk_rows(7, 4096) == 0
+
+
+def test_fuse_kernel_matches_xla_chain():
+    """Single-pass Pallas fusion == fusion.fuse_counts bit-exactly
+    (log-odds, seen, occupancy, stats counts), incl. saturated counters
+    and both occupancy predicates."""
+    import numpy as np
+
+    from fiesta_tpu import FiestaConfig
+    from fiesta_tpu.ops import fusion
+    from fiesta_tpu.ops.pallas.fuse import fuse_counts_pallas, fuse_supported
+
+    cfg = FiestaConfig(resolution=0.1, origin=(0.0, 0.0, 0.0),
+                       map_size=(1.6, 1.6, 0.8))   # 16*16*8 = 2048 = 16*128
+    assert fuse_supported(cfg.grid_shape)
+    rng = np.random.default_rng(3)
+    shape = cfg.grid_shape
+    lo = rng.uniform(cfg.clamp_min_log, cfg.clamp_max_log,
+                     shape).astype(np.float32)
+    lo.flat[::7] = np.float32(cfg.min_occupancy_log)  # boundary values
+    seen = (rng.random(shape) < 0.5).astype(np.uint8)
+    hit = rng.integers(0, 256, shape).astype(np.uint8)
+    miss = np.where(rng.random(shape) < 0.3, 0,
+                    rng.integers(0, 256, shape)).astype(np.uint8)
+
+    ref = fusion.fuse_counts(cfg, jnp.asarray(lo), jnp.asarray(seen),
+                             jnp.asarray(hit), jnp.asarray(miss))
+    got = fuse_counts_pallas(
+        jnp.asarray(lo), jnp.asarray(seen), jnp.asarray(hit),
+        jnp.asarray(miss),
+        l_hit=cfg.prob_hit_log, l_miss=cfg.prob_miss_log,
+        clamp_min=cfg.clamp_min_log, clamp_max=cfg.clamp_max_log,
+        occ_thresh=cfg.min_occupancy_log, occ_is_eq=False,
+        interpret=True)
+    new_lo, new_seen, occ, hit0, miss0, n_obs, n_ins, n_del = got
+    np.testing.assert_array_equal(np.asarray(new_lo), np.asarray(ref.logodds))
+    np.testing.assert_array_equal(np.asarray(new_seen), np.asarray(ref.seen))
+    np.testing.assert_array_equal(np.asarray(occ) > 0,
+                                  np.asarray(ref.occupied))
+    assert not np.asarray(hit0).any() and not np.asarray(miss0).any()
+    assert int(n_obs) == int(ref.num_observed)
+    assert int(n_ins) == int(np.asarray(ref.insert_mask).sum())
+    assert int(n_del) == int(np.asarray(ref.delete_mask).sum())
+
+
+def test_boxadd_kernel_interpret_both_arith_paths():
+    """In-place region-add (interpret): i32-convert and u8-native wrap
+    forms both equal the numpy saturating oracle, including at 255."""
+    import numpy as np
+
+    from fiesta_tpu.ops.pallas.boxadd import box_add_inplace
+
+    rng = np.random.default_rng(0)
+    g = (32, 16, 16)
+    hit = rng.integers(0, 256, g).astype(np.uint8)
+    hit[:8] = 254                       # saturation boundary region
+    miss = rng.integers(0, 256, g).astype(np.uint8)
+    k, box = 2, (8, 8, 16)
+    starts = np.array([[0, 0, 0], [16, 8, 0]], np.int32)
+    bh = rng.integers(0, 4, (k,) + box).astype(np.uint8)
+    bm = rng.integers(0, 4, (k,) + box).astype(np.uint8)
+
+    exp_h = hit.astype(np.int32).copy()
+    exp_m = miss.astype(np.int32).copy()
+    for i in range(k):
+        sl = tuple(slice(starts[i][d], starts[i][d] + box[d])
+                   for d in range(3))
+        exp_h[sl] = np.minimum(exp_h[sl] + bh[i], 255)
+        exp_m[sl] = np.minimum(exp_m[sl] + bm[i], 255)
+
+    for force_u8 in (False, True):
+        oh, om = box_add_inplace(
+            jnp.asarray(hit), jnp.asarray(miss), jnp.asarray(starts),
+            jnp.asarray(bh), jnp.asarray(bm),
+            interpret=True, force_u8=force_u8)
+        np.testing.assert_array_equal(np.asarray(oh),
+                                      exp_h.astype(np.uint8))
+        np.testing.assert_array_equal(np.asarray(om),
+                                      exp_m.astype(np.uint8))
