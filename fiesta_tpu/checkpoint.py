@@ -55,6 +55,9 @@ def load(path: str) -> Tuple[FiestaConfig, MapState]:
             with open(path + ".json") as fh:
                 raw = json.load(fh)
         state = MapState(**{f: jnp.asarray(data[f]) for f in _FIELDS})
+        if state.seen.dtype != jnp.uint8:   # pre-u8-migration checkpoints
+            state = dataclasses.replace(
+                state, seen=state.seen.astype(jnp.uint8))
     for k in ("origin", "map_size", "radius"):
         raw[k] = tuple(raw[k])
     cfg = FiestaConfig(**raw)

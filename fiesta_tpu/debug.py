@@ -41,6 +41,15 @@ def check_consistency(cfg: FiestaConfig, state: MapState) -> bool:
 
     d2 = np.asarray(state.d2)
     closest = np.asarray(state.closest)
+    if closest.ndim == 3:
+        # packed rebuild format (grid.closest_packed_state): decode to
+        # planes for the numpy invariants below
+        defined_p = closest >= 0
+        closest = np.stack([
+            np.where(defined_p, closest >> 20, -1),
+            np.where(defined_p, (closest >> 10) & 1023, -1),
+            np.where(defined_p, closest & 1023, -1),
+        ]).astype(np.int64)
     occ = np.asarray(occupied_grid(cfg, state.logodds))
 
     if cfg.esdf_mode == "rebuild" and not rebuild_tracks_closest(cfg):
@@ -114,7 +123,7 @@ def check_with_ground_truth(
 
     occ = np.asarray(occupied_grid(cfg, state.logodds))
     d2 = np.asarray(state.d2)
-    seen = np.asarray(state.seen)
+    seen = np.asarray(state.seen).astype(bool)
     known = seen & (d2 < int(INF_D2))
 
     out: Dict[str, object] = {"num_known": int(known.sum())}

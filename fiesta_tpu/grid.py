@@ -54,8 +54,16 @@ class MapState:
     Fields (reference analog in parens):
       logodds  f32  occupancy log-odds        (occupancy_buffer_, ESDFMap.h:75)
       d2       i32  squared distance, voxels  (distance_buffer_,  ESDFMap.h:76)
-      closest  i16  closest-obstacle coords   (closest_obstacle_, ESDFMap.h:79)
-      seen     bool voxel ever observed       (distance_buffer_ >= 0 test)
+      closest  i32  closest-obstacle coords   (closest_obstacle_, ESDFMap.h:79)
+                    PACKED x<<20|y<<10|z, [X,Y,Z], -1 = undefined when
+                    ``closest_packed_state(cfg)`` (the rebuild production
+                    format: one N-element write per tick instead of 3N);
+                    else i16 [3,X,Y,Z] coordinate planes (the incremental
+                    queue engine's native form)
+      seen     u8   voxel ever observed, {0,1} (distance_buffer_ >= 0 test;
+                    u8 rather than bool because Mosaic widens i1 kernel IO
+                    to i32 — 4x VMEM + convert passes — while u8 blocks
+                    alias straight through ops/pallas/fuse.py)
       hit_cnt  u8   per-update hit counter    (num_hit_,  ESDFMap.h:77)
       miss_cnt u8   per-update miss counter   (num_miss_, ESDFMap.h:77)
 
@@ -76,14 +84,54 @@ class MapState:
     miss_cnt: jax.Array
 
 
+def closest_packed_state(cfg: FiestaConfig) -> bool:
+    """Whether ``MapState.closest`` uses the PACKED format: one int32
+    grid with ``x<<20 | y<<10 | z`` (-1 = undefined) instead of three
+    int16 coordinate planes.
+
+    Why: the rebuild tick re-materializes closest every update; the
+    [3,X,Y,Z] i16 form is a 3N-element write that runs at the TPU's
+    element rate (~1.5 ms/tick at cow scale — PERF.md round 4), while
+    the packed form is one N-element write.  Readers decode on demand
+    (``unpack_closest`` / per-point bit ops in ops.query).  Only grids
+    with per-axis extent <= 1024 fit 10-bit fields; the incremental
+    queue engine keeps the plane format it was built around."""
+    return (cfg.esdf_mode == "rebuild" and cfg.track_closest
+            and all(g <= 1024 for g in cfg.grid_shape))
+
+
+def pack_closest(planes: jax.Array) -> jax.Array:
+    """[3, X, Y, Z] coordinate planes -> packed int32 [X, Y, Z]."""
+    c = planes.astype(jnp.int32)
+    return jnp.where(c[0] >= 0,
+                     (c[0] << 20) | (c[1] << 10) | c[2],
+                     jnp.int32(-1))
+
+
+def unpack_closest(packed: jax.Array) -> jax.Array:
+    """Packed int32 [...] -> [3, ...] int16 planes (UNDEFINED_COORD
+    where undefined)."""
+    defined = packed >= 0
+    u = jnp.int16(UNDEFINED_COORD)
+    return jnp.stack([
+        jnp.where(defined, (packed >> 20).astype(jnp.int16), u),
+        jnp.where(defined, ((packed >> 10) & 1023).astype(jnp.int16), u),
+        jnp.where(defined, (packed & 1023).astype(jnp.int16), u),
+    ])
+
+
 def make_state(cfg: FiestaConfig) -> MapState:
     """Allocate an empty map (reference ctor ESDFMap.cpp:171-213)."""
     shape = cfg.grid_shape
+    if closest_packed_state(cfg):
+        closest = jnp.full(shape, -1, jnp.int32)
+    else:
+        closest = jnp.full((3,) + shape, UNDEFINED_COORD, jnp.int16)
     return MapState(
         logodds=jnp.zeros(shape, jnp.float32),
         d2=jnp.full(shape, INF_D2, jnp.int32),
-        closest=jnp.full((3,) + shape, UNDEFINED_COORD, jnp.int16),
-        seen=jnp.zeros(shape, bool),
+        closest=closest,
+        seen=jnp.zeros(shape, jnp.uint8),
         hit_cnt=jnp.zeros(shape, jnp.uint8),
         miss_cnt=jnp.zeros(shape, jnp.uint8),
     )

@@ -283,9 +283,22 @@ def update_esdf(
     window, ESDFMap.cpp:301-335, while their neighbor *reads* stay
     window-gated).
 
-    Returns (d2, closest, num_sweeps).
+    Returns (d2, closest, num_sweeps) — closest in the caller's format:
+    the queue engine's native state is the [3,X,Y,Z] coordinate planes;
+    a PACKED closest (grid.closest_packed_state rebuild format, ndim 3)
+    is transparently unpacked on entry and repacked on return, so mixed
+    use (e.g. a rebuild-formatted state driven through the incremental
+    validation engine) keeps working.
     """
     del delete_mask  # subsumed by occupancy gather in apply_occupancy_changes
+    packed_in = closest.ndim == occupied.ndim
+    if packed_in:
+        from ..grid import pack_closest, unpack_closest
+
+        d2p, closestp, sweeps = update_esdf(
+            d2, unpack_closest(closest), occupied, insert_mask, None,
+            window_mask, dirs, max_iters=max_iters)
+        return d2p, pack_closest(closestp), sweeps
     d2, closest, reset = apply_occupancy_changes(d2, closest, occupied, insert_mask)
     if window_mask is None:
         return relax_to_fixpoint(d2, closest, None, None, dirs,

@@ -868,10 +868,17 @@ def unpack_split(vps: jax.Array, plan):
     return val, sign, bstar, astar
 
 
-def _reconstruct_closest(shape, plan, val, sign, bstar, astar):
+def _reconstruct_closest(shape, plan, val, sign, bstar, astar,
+                         packed_out: bool = False):
     """Shared final decode: recover c* arithmetically from the winning
     (val, a*, b*) + sign, assemble (d2, closest) in natural [X,Y,Z] order.
-    Inputs are int32 arrays already in natural [X,Y,Z] layout."""
+    Inputs are int32 arrays already in natural [X,Y,Z] layout.
+
+    ``packed_out``: emit closest as ONE packed int32 grid
+    (grid.pack_closest layout, -1 = undefined) instead of three i16
+    planes — the [3,X,Y,Z] stack is a 3N-element write that runs at the
+    TPU's element rate (~1.5 ms/tick at cow scale); the packed epilogue
+    fuses into the same single pass as d2."""
     from ...grid import UNDEFINED_COORD
 
     t = plan["t"]
@@ -886,26 +893,31 @@ def _reconstruct_closest(shape, plan, val, sign, bstar, astar):
 
     valid = val <= t * t
     d2 = jnp.where(valid, val, INF_D2)
-    undef = jnp.int16(UNDEFINED_COORD)
     coords = [None, None, None]
     coords[a_ax] = astar
     coords[b_ax] = bstar
     coords[c_ax] = cstar
+    if packed_out:
+        packed = (coords[0] << 20) | (coords[1] << 10) | coords[2]
+        return d2, jnp.where(valid, packed, jnp.int32(-1))
+    undef = jnp.int16(UNDEFINED_COORD)
     closest = jnp.stack(
         [jnp.where(valid, c.astype(jnp.int16), undef) for c in coords])
     return d2, closest
 
 
-@partial(jax.jit, static_argnames=("trunc_vox", "interpret"))
+@partial(jax.jit, static_argnames=("trunc_vox", "interpret", "packed_out"))
 def truncated_edt_d2_closest(
-    occupied: jax.Array, trunc_vox: int, interpret: bool = False
+    occupied: jax.Array, trunc_vox: int, interpret: bool = False,
+    packed_out: bool = False,
 ):
     """Exact truncated squared EDT *with* per-voxel closest-obstacle coords.
 
     Returns (d2 int32 [X,Y,Z], closest int16 [3,X,Y,Z]); closest reads
     UNDEFINED_COORD (-1) wherever d2 == INF_D2.  Identical d2 to
     ``truncated_edt_d2``.  Requires ``closest_plan(shape, trunc_vox)`` to
-    fit; callers gate on it.
+    fit; callers gate on it.  ``packed_out``: closest as one packed int32
+    grid instead (see _reconstruct_closest).
     """
     plan = closest_plan(occupied.shape, trunc_vox)
     assert plan is not None, (
@@ -923,7 +935,7 @@ def truncated_edt_d2_closest(
 
     val, sign, bstar, astar = unpack_split(vps, plan)
     return _reconstruct_closest(occupied.shape, plan, val, sign, bstar,
-                                astar)
+                                astar, packed_out=packed_out)
 
 
 # ---------------------------------------------------------------------------
@@ -1027,7 +1039,8 @@ def _split_pair_xla(hi, lo, plan):
 
 
 @partial(jax.jit, static_argnames=("trunc_vox",))
-def truncated_edt_d2_closest_wide(occupied: jax.Array, trunc_vox: int):
+def truncated_edt_d2_closest_wide(occupied: jax.Array, trunc_vox: int,
+                                  packed_out: bool = False):
     """Exact truncated EDT + closest on grids past the int32 packing budget
     (e.g. 512^3 at t=100).  Same return contract and identical results to
     ``truncated_edt_d2_closest`` where both are defined."""
@@ -1052,48 +1065,60 @@ def truncated_edt_d2_closest_wide(occupied: jax.Array, trunc_vox: int):
     bstar = pay >> ba
     astar = pay & ((1 << ba) - 1)
     return _reconstruct_closest(occupied.shape, plan, val, sign, bstar,
-                                astar)
+                                astar, packed_out=packed_out)
 
 
-def edt_closest_auto(occupied, trunc_vox: int, interpret: bool = False):
+def edt_closest_auto(occupied, trunc_vox: int, interpret: bool = False,
+                     packed_out: bool = False):
     """Dispatch one truncated EDT+closest level: the packed Pallas path
     when the int32 budget fits, else the exact two-word wide fallback
     (identical results; see closest_capability)."""
     if closest_plan(occupied.shape, trunc_vox) is not None:
-        return truncated_edt_d2_closest(occupied, trunc_vox, interpret)
-    return truncated_edt_d2_closest_wide(occupied, trunc_vox)
+        return truncated_edt_d2_closest(occupied, trunc_vox, interpret,
+                                        packed_out=packed_out)
+    return truncated_edt_d2_closest_wide(occupied, trunc_vox,
+                                         packed_out=packed_out)
 
 
-@partial(jax.jit, static_argnames=("t_fine", "t_total", "interpret"))
+@partial(jax.jit, static_argnames=("t_fine", "t_total", "interpret",
+                                   "packed_out"))
 def hierarchical_edt_d2_closest(
-    occupied: jax.Array, t_fine: int, t_total: int, interpret: bool = False
+    occupied: jax.Array, t_fine: int, t_total: int, interpret: bool = False,
+    packed_out: bool = False,
 ):
     """Two-level EDT with closest tracking.  The fine field's closest is
     exact; the far field's comes from the coarse grid (coordinates snapped
     to the even corner of the winning 2x2x2 block — approximate by up to
     one fine voxel per axis, consistent with the far field's own +-1
-    coarse-voxel distance quantization)."""
+    coarse-voxel distance quantization).  ``packed_out``: packed int32
+    closest (coarse coord doubling works directly on the packed word —
+    2*coord stays within each 10-bit field for grids <= 1024)."""
     from ...grid import UNDEFINED_COORD
 
     gx, gy, gz = occupied.shape
     assert gx % 2 == 0 and gy % 2 == 0 and gz % 2 == 0
 
-    fine_d2, fine_cl = edt_closest_auto(occupied, t_fine, interpret)
+    fine_d2, fine_cl = edt_closest_auto(occupied, t_fine, interpret,
+                                        packed_out=packed_out)
 
     if jax.default_backend() == "tpu" and not interpret:
         occ_c = _downsample2_any(occupied)
     else:
         occ_c = occupied.reshape(gx // 2, 2, gy // 2, 2, gz // 2, 2).any(
             axis=(1, 3, 5))
-    d2c, clc = edt_closest_auto(occ_c, -(-t_total // 2), interpret)
+    d2c, clc = edt_closest_auto(occ_c, -(-t_total // 2), interpret,
+                                packed_out=packed_out)
     d2c = jnp.where(d2c >= INF_D2, INF_D2, d2c * 4)
     up = jnp.repeat(jnp.repeat(jnp.repeat(d2c, 2, 0), 2, 1), 2, 2)
+    use_fine = fine_d2 < INF_D2
+    d2 = jnp.where(use_fine, fine_d2, up)
+    if packed_out:
+        clc2 = jnp.where(clc < 0, jnp.int32(-1), clc * 2)
+        cl_up = jnp.repeat(jnp.repeat(jnp.repeat(clc2, 2, 0), 2, 1), 2, 2)
+        return d2, jnp.where(use_fine, fine_cl, cl_up)
     clc2 = jnp.where(clc < 0, jnp.int16(UNDEFINED_COORD),
                      (clc * jnp.int16(2)))
     cl_up = jnp.repeat(jnp.repeat(jnp.repeat(clc2, 2, 1), 2, 2), 2, 3)
-
-    use_fine = fine_d2 < INF_D2
-    d2 = jnp.where(use_fine, fine_d2, up)
     closest = jnp.where(use_fine[None], fine_cl, cl_up)
     return d2, closest
 

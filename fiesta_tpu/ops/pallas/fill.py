@@ -61,3 +61,53 @@ def zeros_f32(n: int) -> jax.Array:
                                memory_space=pltpu.VMEM),
     )()
     return out.reshape(n)
+
+
+def decode_packed_splat(packed_flat: jax.Array, max_ray: float,
+                        res: float):
+    """Decode the endpoint splat's packed class+range scatter result into
+    (seeds f32, hit u8, epfree u8), all flat [N].
+
+    Bit-identical to ``ops.raycast._seeds_from_packed`` (same comparisons
+    and arithmetic), executed as one Pallas pass: the XLA form is a
+    full-box elementwise pass over ~11 M elements at the TPU's element
+    rate (~1.2 ms at cow scale); the kernel runs at HBM bandwidth.
+    Falls back to None off-TPU / on shape constraints (caller keeps the
+    XLA path).
+    """
+    n = packed_flat.shape[0]
+    if jax.default_backend() != "tpu" or n % 128:
+        return None
+    rows = n // 128
+    ch = _chunk_rows(rows, 2048)
+    if not ch:
+        return None
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    thr = np.float32(max_ray + res - 1e-4)
+
+    def kernel(p_ref, seeds_o, hit_o, ep_o):
+        p = p_ref[:]
+        hit = p >= 2000.0
+        freeish = jnp.logical_and(p >= 1000.0, p < 2000.0)
+        seeds_o[:] = jnp.where(
+            hit, p - 2000.0, jnp.where(freeish, p - 1000.0, 0.0))
+        hit_o[:] = hit.astype(jnp.uint8)
+        ep_o[:] = jnp.logical_and(
+            freeish, p - 1000.0 >= thr).astype(jnp.uint8)
+
+    spec = pl.BlockSpec((ch, 128), lambda g: (g, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // ch,),
+        in_specs=[spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, 128), jnp.uint8),
+        ),
+    )(packed_flat.reshape(rows, 128))
+    return tuple(o.reshape(n) for o in out)

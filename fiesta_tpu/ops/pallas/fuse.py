@@ -18,6 +18,13 @@ This kernel drains the counters in ONE pass over the grid:
   * accumulates the three stats (observed / inserted / deleted) as
     per-block partial sums reduced host-side over ~50 rows.
 
+The kernel blocks the grid along x IN ITS NATIVE [X, Y, Z] layout — a
+2-D flattening would force relayout copies on every operand (pallas
+inputs must materialize in the requested layout), costing more than the
+kernel saves.  ``seen`` stays i1 end-to-end (plain load/or/store; only
+i1 reshapes are outside Mosaic's support), so the bool buffer aliases
+without a convert pass.
+
 Insert/delete MASKS are not materialized — the rebuild path only needs
 their population counts (the incremental-queue path keeps the XLA
 implementation, ``fusion.fuse_counts``).
@@ -32,18 +39,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _chunk_rows(rows: int, target: int) -> int:
-    b = min(rows, target) // 8 * 8
-    while b >= 8:
-        if rows % b == 0:
-            return b
-        b -= 8
-    return 0
+def _chunk_x(gx: int, per_row: int, budget: int = 6 * 2**20) -> int:
+    """Largest divisor of gx whose block (~15 B/elem) fits the budget."""
+    target = max(budget // max(per_row * 15, 1), 1)
+    b = min(gx, target)
+    while b > 1 and gx % b:
+        b -= 1
+    return b
 
 
 def fuse_supported(grid_shape) -> bool:
-    n = int(np.prod(grid_shape))
-    return n % 128 == 0 and _chunk_rows(n // 128, 2048) >= 8
+    # blocks span the full (Y, Z) trailing dims, which Pallas accepts for
+    # any extent ("...or be equal to the respective dimensions of the
+    # overall array"); x always has the divisor 1.  Kept as a hook for
+    # future constraints.
+    return len(grid_shape) == 3
 
 
 def fuse_counts_pallas(
@@ -71,12 +81,10 @@ def fuse_counts_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    shape = logodds.shape
-    n = int(np.prod(shape))
-    rows = n // 128
-    ch = _chunk_rows(rows, 2048)
-    assert ch, shape
-    nb = rows // ch
+    gx, gy, gz = logodds.shape
+    cx = _chunk_x(gx, gy * gz)
+    nb = gx // cx
+    seen_dt = seen.dtype
     lh = np.float32(l_hit)
     lm = np.float32(l_miss)
     cmin = np.float32(clamp_min)
@@ -91,48 +99,59 @@ def fuse_counts_pallas(
         lo = lo_ref[:]
         hit = hit_ref[:]
         miss = miss_ref[:]
-        obs = miss > jnp.uint8(0)
-        is_hit = (2 * hit.astype(jnp.int32)) >= miss.astype(jnp.int32)
+        # compares run on i32: Mosaic on this toolchain rejects u8 vector
+        # comparisons ("Target does not support this comparison")
+        hit32 = hit.astype(jnp.int32)
+        miss32 = miss.astype(jnp.int32)
+        obs = miss32 > 0
+        is_hit = (2 * hit32) >= miss32
         new = jnp.clip(lo + jnp.where(is_hit, lh, lm), cmin, cmax)
         new = jnp.where(obs, new, lo)
         occ_b = occ_of(lo)
         occ_a = occ_of(new)
         lo_o[:] = new
-        seen_o[:] = seen_ref[:] | obs.astype(jnp.uint8)
+        seen_o[:] = seen_ref[:] | obs.astype(seen_dt)
         occ_o[:] = occ_a.astype(jnp.uint8)
         hit_o[:] = jnp.zeros_like(hit)
         miss_o[:] = jnp.zeros_like(miss)
         n_obs = jnp.sum(obs.astype(jnp.int32))
         n_ins = jnp.sum((occ_a & ~occ_b).astype(jnp.int32))
         n_del = jnp.sum((~occ_a & occ_b).astype(jnp.int32))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        cnt_o[:] = (jnp.where(lane == 0, n_obs, 0)
-                    + jnp.where(lane == 1, n_ins, 0)
-                    + jnp.where(lane == 2, n_del, 0))
+        # partials ride an (8, 128) tile (the minimum legal block); the
+        # three counts land on sublane 0, lanes 0..2
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        row = (jnp.where(lane == 0, n_obs, 0)
+               + jnp.where(lane == 1, n_ins, 0)
+               + jnp.where(lane == 2, n_del, 0))
+        cnt_o[:] = jnp.where(sub == 0, row, 0)
 
-    blk = lambda g: (g, 0)  # noqa: E731
-    f32_spec = pl.BlockSpec((ch, 128), blk, memory_space=pltpu.VMEM)
-    u8_spec = pl.BlockSpec((ch, 128), blk, memory_space=pltpu.VMEM)
-    cnt_spec = pl.BlockSpec((1, 128), blk, memory_space=pltpu.VMEM)
+    def spec(dt):  # noqa: ARG001 (dtype rides out_shape)
+        return pl.BlockSpec((cx, gy, gz), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    cnt_spec = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[f32_spec, u8_spec, u8_spec, u8_spec],
-        out_specs=(f32_spec, u8_spec, u8_spec, u8_spec, u8_spec, cnt_spec),
+        in_specs=[spec(None)] * 4,
+        out_specs=(spec(None),) * 5 + (cnt_spec,),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((rows, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((nb, 128), jnp.int32),
+            jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
+            jax.ShapeDtypeStruct((gx, gy, gz), seen_dt),
+            jax.ShapeDtypeStruct((gx, gy, gz), jnp.uint8),
+            jax.ShapeDtypeStruct((gx, gy, gz), jnp.uint8),
+            jax.ShapeDtypeStruct((gx, gy, gz), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32),
         ),
         input_output_aliases={0: 0, 1: 1, 2: 3, 3: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(logodds.reshape(rows, 128), seen.reshape(rows, 128),
-      hit_cnt.reshape(rows, 128), miss_cnt.reshape(rows, 128))
+    )(logodds, seen, hit_cnt, miss_cnt)
     new_lo, new_seen, occ, hit0, miss0, cnt = out
-    sums = jnp.sum(cnt, axis=0)
-    return (new_lo.reshape(shape), new_seen.reshape(shape),
-            occ.reshape(shape), hit0.reshape(shape), miss0.reshape(shape),
+    sums = jnp.sum(cnt, axis=(0, 1))
+    return (new_lo, new_seen, occ, hit0, miss0,
             sums[0], sums[1], sums[2])

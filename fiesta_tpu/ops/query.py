@@ -176,9 +176,10 @@ def get_dist_grad_trilinear(
 
 def get_closest_obstacle(
     cfg: FiestaConfig,
-    closest: jax.Array,   # [3, X, Y, Z] int16 (MapState.closest)
+    closest: jax.Array,   # MapState.closest: packed i32 [X,Y,Z] or
+                          # i16 [3,X,Y,Z] planes (grid.closest_packed_state)
     d2: jax.Array,        # [X, Y, Z] int32
-    seen: jax.Array,      # [X, Y, Z] bool (MapState.seen)
+    seen: jax.Array,      # [X, Y, Z] {0,1} (MapState.seen)
     pos: jax.Array,       # [..., 3] world positions
 ) -> Tuple[jax.Array, jax.Array]:
     """Closest-obstacle query: world coordinates of the nearest obstacle
@@ -189,16 +190,25 @@ def get_closest_obstacle(
     natural API over the same state.  Undefined entries (no obstacle
     within truncation, unobserved voxel — matching ``get_distance``'s
     unknown-reads-infinity convention — or out-of-map queries) return
-    ``dist = cfg.infinity_distance`` with NaN coordinates.
+    ``dist = cfg.infinity_distance`` with NaN coordinates.  Both closest
+    state formats are accepted (the packed form decodes per query point,
+    a handful of bit ops).
     """
     in_map = pos_in_map(cfg, pos)
     vox = pos_to_vox(cfg, pos)
     gx, gy, gz = cfg.grid_shape
     v = jnp.clip(vox, 0, jnp.array([gx - 1, gy - 1, gz - 1], jnp.int32))
-    c = jnp.stack(
-        [closest[i][v[..., 0], v[..., 1], v[..., 2]] for i in range(3)],
-        axis=-1,
-    ).astype(jnp.int32)                                   # [..., 3]
+    if closest.ndim == 3:     # packed x<<20|y<<10|z, -1 undefined
+        p = closest[v[..., 0], v[..., 1], v[..., 2]].astype(jnp.int32)
+        c = jnp.where(
+            (p >= 0)[..., None],
+            jnp.stack([p >> 20, (p >> 10) & 1023, p & 1023], axis=-1),
+            jnp.int32(-1))
+    else:
+        c = jnp.stack(
+            [closest[i][v[..., 0], v[..., 1], v[..., 2]] for i in range(3)],
+            axis=-1,
+        ).astype(jnp.int32)                               # [..., 3]
     d2_v = d2[v[..., 0], v[..., 1], v[..., 2]]
     seen_v = seen[v[..., 0], v[..., 1], v[..., 2]]
     defined = in_map & seen_v & (c[..., 0] >= 0) & (d2_v < INF_D2)

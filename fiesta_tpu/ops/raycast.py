@@ -790,14 +790,22 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
     # materialization is element-rate-bound (~1.2 ms at cow scale for
     # 11.2 M elements, PERF.md r3 ablation); the kernel output aliases
     # into the scatter in place
-    from .pallas.fill import zeros_f32
-    packed = (
+    from .pallas.fill import decode_packed_splat, zeros_f32
+    packed_flat = (
         zeros_f32(k * nb)
         .at[jnp.where(rvalid, biglin, k * nb).ravel()]
         .max(packed_val.ravel(), mode="drop")
-        .reshape(k, bx, by, bz)
     )
-    seeds, hit_b, epfree_b = _seeds_from_packed(cfg, packed)
+    # decode as a Pallas pass (HBM-bandwidth) where supported; the XLA
+    # form is an ~11 M-element pass at element rate (~1 ms at cow scale)
+    dec = decode_packed_splat(packed_flat, cfg.max_ray_length,
+                              cfg.resolution)
+    if dec is not None:
+        seeds, hit_b, epfree_b = (
+            a.reshape(k, bx, by, bz) for a in dec)
+    else:
+        seeds, hit_b, epfree_b = _seeds_from_packed(
+            cfg, packed_flat.reshape(k, bx, by, bz))
     return starts, po_box, seeds, hit_b, epfree_b, rvalid
 
 

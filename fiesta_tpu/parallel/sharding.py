@@ -73,17 +73,22 @@ def distributed_mesh(
     return Mesh(np.array(jax.devices()), ("x",))
 
 
-def state_shardings(mesh: Mesh) -> MapState:
-    """NamedShardings for MapState: [X,Y,Z] arrays sharded on X."""
+def state_shardings(mesh: Mesh, closest_packed: bool = False) -> MapState:
+    """NamedShardings for MapState: [X,Y,Z] arrays sharded on X.
+
+    ``closest_packed``: the rebuild production format stores closest as
+    one packed [X,Y,Z] int32 (grid.closest_packed_state) — sharded like
+    any grid field; the [3,X,Y,Z] plane format shards on its axis 1."""
     s3 = NamedSharding(mesh, P("x", None, None))
     s4 = NamedSharding(mesh, P(None, "x", None, None))
     return MapState(
-        logodds=s3, d2=s3, closest=s4, seen=s3, hit_cnt=s3, miss_cnt=s3
+        logodds=s3, d2=s3, closest=s3 if closest_packed else s4,
+        seen=s3, hit_cnt=s3, miss_cnt=s3
     )
 
 
 def shard_state(state: MapState, mesh: Mesh) -> MapState:
-    sh = state_shardings(mesh)
+    sh = state_shardings(mesh, closest_packed=state.closest.ndim == 3)
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
@@ -640,14 +645,20 @@ def sharded_rebuild_esdf(cfg: FiestaConfig, mesh: Mesh):
     lx = gx // n
     local = _local_rebuild_esdf(cfg, n)
     track = sharded_closest_supported(cfg)
+    from ..grid import closest_packed_state, pack_closest
+
+    cl_packed = closest_packed_state(cfg)
 
     def local_fn(occupied):
         x0 = jax.lax.axis_index("x").astype(jnp.int32) * lx
         d2, closest = local(occupied, x0)
+        if track and cl_packed:
+            closest = pack_closest(closest)
         return (d2, closest) if track else (d2,)
 
     s3 = P("x", None, None)
-    outs = (s3, P(None, "x", None, None)) if track else (s3,)
+    scl = s3 if cl_packed else P(None, "x", None, None)
+    outs = (s3, scl) if track else (s3,)
     sm = jax.shard_map(
         local_fn, mesh=mesh, in_specs=s3, out_specs=outs,
         check_vma=False,
@@ -704,8 +715,11 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     lx = gx // n
     rebuild_local = _local_rebuild_esdf(cfg, n)
     bx, by, bz = raycast._carve_box_shape(cfg)
+    from ..grid import closest_packed_state, pack_closest
     from ..ops.pallas.fuse import fuse_counts_pallas, fuse_supported
     from ..pipeline import _FUSE_IMPL
+
+    cl_packed = closest_packed_state(cfg)
 
     use_pallas_fuse = (
         _FUSE_IMPL == "pallas" and cfg.global_update
@@ -794,7 +808,8 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
             n_del = jnp.sum(fr.delete_mask, dtype=jnp.int32)
         d2, new_closest = rebuild_local(occ, x0)
         if new_closest is not None:
-            closest = new_closest
+            closest = (pack_closest(new_closest) if cl_packed
+                       else new_closest)
 
         stats = UpdateStats(
             num_observed=jax.lax.psum(n_obs, "x"),
@@ -806,12 +821,13 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
 
     s3 = P("x", None, None)
     s4 = P(None, "x", None, None)
+    scl = s3 if cl_packed else s4    # closest: packed i32 or i16 planes
     sk = P("x", None, None)   # scan-sharded [K_pad, P, 3]
     sm = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(s3, s3, s3, s3, s3, s4, sk, P("x", None), sk, P()),
-        out_specs=(s3, s3, s3, s3, s3, s4,
+        in_specs=(s3, s3, s3, s3, s3, scl, sk, P("x", None), sk, P()),
+        out_specs=(s3, s3, s3, s3, s3, scl,
                    UpdateStats(P(), P(), P(), P())),
         check_vma=False,  # pallas_call inside shard_map has no vma info
     )

@@ -181,12 +181,16 @@ def rebuild_esdf(cfg: FiestaConfig, occupied: jax.Array):
 
     if not rebuild_tracks_closest(cfg):
         return rebuild_d2(cfg, occupied), None
+    from .grid import closest_packed_state
+
+    packed = closest_packed_state(cfg)
     t_total = trunc_vox_for(cfg.resolution, cfg.trunc_dist)
     t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
     gshape = cfg.grid_shape
     if t_fine < t_total and all(g % 2 == 0 for g in gshape):
-        return hierarchical_edt_d2_closest(occupied, t_fine, t_total)
-    return edt_closest_auto(occupied, t_total)
+        return hierarchical_edt_d2_closest(occupied, t_fine, t_total,
+                                           packed_out=packed)
+    return edt_closest_auto(occupied, t_total, packed_out=packed)
 
 
 rebuild_esdf_jit = partial(jax.jit, static_argnames=("cfg",))(rebuild_esdf)

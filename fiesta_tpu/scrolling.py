@@ -61,6 +61,22 @@ def scroll_state(state: MapState, shift: jax.Array) -> MapState:
     seen = _shift_fill(state.seen, shift, False)
     hit_cnt = _shift_fill(state.hit_cnt, shift, 0)
     miss_cnt = _shift_fill(state.miss_cnt, shift, 0)
+    if state.closest.ndim == 3:
+        # packed rebuild format (grid.closest_packed_state): rebase each
+        # 10-bit coordinate field, evict pointers leaving the grid
+        closest = _shift_fill(state.closest, shift, jnp.int32(-1))
+        defined = closest >= 0
+        x = (closest >> 20) - shift[0]
+        y = ((closest >> 10) & 1023) - shift[1]
+        z = (closest & 1023) - shift[2]
+        gx, gy, gz = state.d2.shape
+        in_grid = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+                   & (z >= 0) & (z < gz))
+        d2 = jnp.where(defined & ~in_grid, INF_D2, d2)
+        closest = jnp.where(defined & in_grid,
+                            (x << 20) | (y << 10) | z, jnp.int32(-1))
+        return MapState(logodds=logodds, d2=d2, closest=closest,
+                        seen=seen, hit_cnt=hit_cnt, miss_cnt=miss_cnt)
     closest = _shift_fill(state.closest, shift, UNDEFINED_COORD)
     defined = closest[0] >= 0
     rebased = closest - shift.astype(jnp.int16)[:, None, None, None]

@@ -145,7 +145,7 @@ def _slice_fields(cfg, state, slice_z, max_dist):
     md = cfg.slice_vis_max_dist if max_dist is None else max_dist
     z = slice_index(cfg, slice_z)
     d2 = np.asarray(state.d2[:, :, z])
-    seen = np.asarray(state.seen[:, :, z])
+    seen = np.asarray(state.seen[:, :, z]).astype(bool)
     from .grid import INF_D2
 
     known = seen & (d2 < int(INF_D2))

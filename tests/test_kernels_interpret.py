@@ -162,7 +162,7 @@ def test_fuse_kernel_matches_xla_chain():
     lo = rng.uniform(cfg.clamp_min_log, cfg.clamp_max_log,
                      shape).astype(np.float32)
     lo.flat[::7] = np.float32(cfg.min_occupancy_log)  # boundary values
-    seen = (rng.random(shape) < 0.5).astype(np.uint8)
+    seen = rng.random(shape) < 0.5   # bool, as MapState stores it
     hit = rng.integers(0, 256, shape).astype(np.uint8)
     miss = np.where(rng.random(shape) < 0.3, 0,
                     rng.integers(0, 256, shape)).astype(np.uint8)
@@ -221,3 +221,40 @@ def test_boxadd_kernel_interpret_both_arith_paths():
                                       exp_h.astype(np.uint8))
         np.testing.assert_array_equal(np.asarray(om),
                                       exp_m.astype(np.uint8))
+
+
+def test_decode_splat_matches_xla(monkeypatch):
+    """Pallas splat decode == _seeds_from_packed bit-exactly (class
+    boundaries at 1000/2000 and the epfree threshold included)."""
+    import numpy as np
+
+    from fiesta_tpu import FiestaConfig
+    from fiesta_tpu.ops import raycast
+    from fiesta_tpu.ops.pallas import fill
+
+    cfg = FiestaConfig(resolution=0.1, origin=(0.0, 0.0, 0.0),
+                       map_size=(1.6, 1.6, 0.8), max_ray_length=3.0)
+    n = 16 * 16 * 8
+    rng = np.random.default_rng(5)
+    vals = rng.choice(
+        [0.0, 999.9, 1000.0, 1000.0 + 3.1 - 1e-4, 1000.0 + 3.1,
+         1999.9, 2000.0, 2002.5], size=n).astype(np.float32)
+    packed = jnp.asarray(vals)
+
+    ref = raycast._seeds_from_packed(cfg, packed.reshape(1, 16, 16, 8))
+
+    # run the kernel via interpret on CPU (the TPU path is identical code)
+    import jax
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    from jax.experimental import pallas as pl
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True}))
+    dec = fill.decode_packed_splat(packed, cfg.max_ray_length,
+                                   cfg.resolution)
+    assert dec is not None
+    seeds, hit, ep = (a.reshape(1, 16, 16, 8) for a in dec)
+    np.testing.assert_array_equal(np.asarray(seeds), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(ref[2]))

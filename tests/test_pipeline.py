@@ -273,7 +273,11 @@ def test_rebuild_mode_maintains_closest():
                               edt_fine_dist=2.0)
     assert rebuild_tracks_closest(cfg)
     _, pipe = _run_replay("scanline", cfg=cfg)
-    closest = np.asarray(pipe.state.closest)
+    from fiesta_tpu.grid import closest_packed_state, unpack_closest
+
+    assert closest_packed_state(cfg)   # production state format is packed
+    assert pipe.state.closest.ndim == 3
+    closest = np.asarray(unpack_closest(pipe.state.closest))
     d2 = np.asarray(pipe.state.d2)
     assert (closest[0] >= 0).any(), "no closest recorded after replay"
     assert debug.check_consistency(cfg, pipe.state)

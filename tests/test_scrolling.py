@@ -43,8 +43,12 @@ def test_scroll_state_moves_content():
     # obstacle moved from (20,20,10) to (15,23,10)
     assert float(shifted.logodds[15, 23, 10]) == 5.0
     assert int(shifted.d2[15, 23, 10]) == 0
+    from fiesta_tpu.grid import unpack_closest
+
+    cl = (unpack_closest(shifted.closest) if shifted.closest.ndim == 3
+          else shifted.closest)
     np.testing.assert_array_equal(
-        np.asarray(shifted.closest[:, 15, 23, 10]), [15, 23, 10]
+        np.asarray(cl[:, 15, 23, 10]), [15, 23, 10]
     )
     # distances stay consistent around the moved obstacle
     assert int(shifted.d2[17, 23, 10]) == 4
@@ -66,7 +70,11 @@ def test_scroll_evicts_out_of_grid_closest():
     shifted = scroll_state(state, jnp.array([10, 0, 0], jnp.int32))
     # voxels that referenced it reset to unknown distance
     assert int(shifted.d2[0, 20, 10]) == int(INF_D2)
-    assert int(shifted.closest[0, 0, 20, 10]) == int(UNDEFINED_COORD)
+    from fiesta_tpu.grid import unpack_closest
+
+    cl = (unpack_closest(shifted.closest) if shifted.closest.ndim == 3
+          else shifted.closest)
+    assert int(cl[0, 0, 20, 10]) == int(UNDEFINED_COORD)
 
 
 def test_scrolling_pipeline_follows_robot():

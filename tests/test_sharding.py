@@ -466,7 +466,7 @@ def _compare_tick(cfg, use_window, n_ticks=2, compare_closest=True):
     if compare_closest:
         np.testing.assert_array_equal(np.asarray(state.closest),
                                       np.asarray(ref_state.closest))
-        assert (np.asarray(state.closest)[0] >= 0).any()
+        assert (np.asarray(state.closest) >= 0).any()
     return state, ref_state
 
 
