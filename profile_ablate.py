@@ -29,6 +29,8 @@ def main():
     from fiesta_tpu.grid import local_window, occupied_grid
     from fiesta_tpu.io import replay
     from fiesta_tpu.ops import fusion, raycast
+    from fiesta_tpu import pipeline as pipeline_mod
+    from fiesta_tpu.ops.pallas.fuse import fuse_counts_pallas, fuse_supported
     from fiesta_tpu.pipeline import (
         FiestaPipeline, UpdateStats, fused_batch_step, rebuild_esdf)
 
@@ -89,6 +91,24 @@ def main():
             occ = occupied_grid(cfg, lo)
             occ = occ ^ (miss_cnt[0, 0, 0] > 200)
             n_obs = jnp.int32(0)
+        elif (pipeline_mod._FUSE_IMPL == "pallas"
+                and jax.default_backend() == "tpu"
+                and fuse_supported(cfg.grid_shape)):
+            # mirror the REAL tick's fusion implementation (the XLA chain
+            # here once made the fusion marginal read 1.6 ms while the
+            # production stream paid 0.14)
+            on, off_eq = ((cfg.min_occupancy_log, False)
+                          if cfg.probabilistic else (1.0, True))
+            lo, seen, occ, hit_cnt, miss_cnt, n_obs, _, _ = \
+                fuse_counts_pallas(
+                    st.logodds, st.seen, hit_cnt, miss_cnt,
+                    l_hit=cfg.prob_hit_log, l_miss=cfg.prob_miss_log,
+                    clamp_min=cfg.clamp_min_log,
+                    clamp_max=cfg.clamp_max_log,
+                    occ_thresh=on, occ_is_eq=off_eq,
+                )
+            if "stats" in skip:
+                n_obs = jnp.int32(0)
         else:
             fr = fusion.fuse_counts(cfg, lo_ := st.logodds, st.seen,
                                     hit_cnt, miss_cnt)
@@ -117,8 +137,13 @@ def main():
                 s2, stats = tick_body(skip, s, p, v, t, q)
                 return s2, stats.num_observed
             s_fin, obs = jax.lax.scan(body, st, (pts, vals, tfs, poss))
-            return s_fin.d2[0, 0, 0] + jnp.sum(obs) \
-                + s_fin.logodds[0, 0, 0].astype(jnp.int32)
+            # consume EVERY state field: an output left dead lets XLA
+            # DCE its whole producer chain out of the loop — round 3's
+            # "closest tracking ~free" was exactly this artifact
+            return (s_fin.d2[0, 0, 0] + jnp.sum(obs)
+                    + s_fin.logodds[0, 0, 0].astype(jnp.int32)
+                    + s_fin.closest.ravel()[0].astype(jnp.int32)
+                    + s_fin.seen.ravel()[0].astype(jnp.int32))
         return run
 
     def measure(name, skip, reps=3):
