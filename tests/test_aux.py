@@ -256,3 +256,50 @@ def test_performance_text_marker():
     txt = viz.performance_text(last_update_ms=12.5)
     assert txt.startswith("Fiesta\nCurrent update Time\n12.500 ms")
     assert "Average update Time" in txt
+
+
+def test_checkpoint_loads_pre_round4_state_formats(tmp_path):
+    """Checkpoints written before the round-4 state-format changes (bool
+    seen, [3,X,Y,Z] i16 closest planes) must load and drive the current
+    pipeline: seen is cast to u8 on load; a plane-format closest flows
+    through the ndim-dispatching consumers and is replaced by the packed
+    format on the first rebuild tick."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fiesta_tpu import FiestaConfig, checkpoint
+    from fiesta_tpu.grid import closest_packed_state, make_state
+    from fiesta_tpu.ops.query import get_closest_obstacle
+    from fiesta_tpu.pipeline import esdf_update
+
+    cfg = FiestaConfig(resolution=0.1, origin=(0.0, 0.0, 0.0),
+                       map_size=(3.2, 3.2, 1.6))
+    assert closest_packed_state(cfg)
+    st = make_state(cfg)
+    # forge the OLD formats
+    old = dataclasses.replace(
+        st,
+        seen=jnp.zeros(cfg.grid_shape, bool).at[1, 2, 3].set(True),
+        closest=jnp.full((3,) + cfg.grid_shape, -1, jnp.int16),
+        logodds=st.logodds.at[1, 2, 3].set(5.0),
+        miss_cnt=st.miss_cnt.at[1, 2, 3].set(2),
+        hit_cnt=st.hit_cnt.at[1, 2, 3].set(2),
+    )
+    path = str(tmp_path / "old_format.npz")
+    checkpoint.save(path, cfg, old)
+    cfg2, st2 = checkpoint.load(path)
+    assert st2.seen.dtype == jnp.uint8          # converter applied
+    assert st2.closest.ndim == 4                # planes preserved on load
+
+    # plane-format closest answers queries through the ndim dispatch
+    pts, dist = get_closest_obstacle(
+        cfg2, st2.closest, st2.d2, st2.seen,
+        jnp.asarray([[0.15, 0.25, 0.35]], jnp.float32))
+    assert dist.shape == (1,)
+
+    # the first rebuild tick replaces it with the packed production format
+    st3, _ = esdf_update(cfg2, st2, jnp.zeros(3, jnp.float32))
+    assert st3.closest.ndim == 3 and st3.closest.dtype == jnp.int32
+    assert bool((np.asarray(st3.closest) >= 0).any())
