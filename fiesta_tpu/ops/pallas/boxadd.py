@@ -173,7 +173,7 @@ def box_add_inplace(cnt_hit, cnt_miss, starts, boxes_hit, boxes_miss,
     box_spec = pl.BlockSpec((1, ch, w),
                             lambda ki, ci, s_ref: (ki, ci, 0),
                             memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k, n_chunks),

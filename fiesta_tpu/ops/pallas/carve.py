@@ -71,10 +71,14 @@ def octant_free_sweep_pallas(
       transposed so its scan axis leads; all must share A.
     po_rows:   list of [3, K] f32 — sensor coord along (axis, c2, c3).
     o2_rows:   list of [K, C2] f32 (c2 coords - sensor); o3_rows same.
-    tie_rules: list of (ge2, ge3) — whether this orientation's axis wins
-      magnitude ties against trailing axis 2/3 (x: (True, True),
-      y: (False, True), z: (False, False)), matching the octant partition
-      of ``carve_free_mask_batch``.
+    tie_rules: list of (ge2, ge3) — whether this orientation's scan axis
+      wins magnitude ties against the axes the CALLER placed on c2/c3
+      (the kernel is symmetric in (c2, c3); rules follow whatever axis
+      order the caller chose).  ``_carve_free_tpu`` carries (c2=z,
+      c3=long axis) for the x/y orientations — x: (True, True),
+      y: (True, False) — and (c2=x, c3=y) for z: (False, False),
+      matching the octant partition of ``carve_free_mask_batch``
+      (dominant axis = max magnitude, ties broken x > y > z).
 
     Free test, in squared voxel units (no sqrt):
       (min_ray/res)^2 <= r2 <= (max_ray/res)^2, W > res,

@@ -898,6 +898,9 @@ def _reconstruct_closest(shape, plan, val, sign, bstar, astar,
     coords[b_ax] = bstar
     coords[c_ax] = cstar
     if packed_out:
+        assert all(g <= 1024 for g in shape), (
+            f"packed closest needs every grid extent <= 1024 (10-bit "
+            f"fields); got {shape}")
         packed = (coords[0] << 20) | (coords[1] << 10) | coords[2]
         return d2, jnp.where(valid, packed, jnp.int32(-1))
     undef = jnp.int16(UNDEFINED_COORD)
@@ -924,6 +927,9 @@ def truncated_edt_d2_closest(
         f"closest tracking unsupported for shape={occupied.shape} "
         f"t={trunc_vox}: packed argmin exceeds int32 "
         "(use truncated_edt_d2_closest_wide)")
+    assert not packed_out or all(g <= 1024 for g in occupied.shape), (
+        f"packed_out needs every grid extent <= 1024 (10-bit coordinate "
+        f"fields, grid.pack_closest); got {occupied.shape}")
     a_ax, b_ax, c_ax = plan["a"], plan["b"], plan["c"]
 
     occ_t = occupied.transpose(a_ax, b_ax, c_ax).astype(jnp.uint8)
@@ -1097,6 +1103,11 @@ def hierarchical_edt_d2_closest(
 
     gx, gy, gz = occupied.shape
     assert gx % 2 == 0 and gy % 2 == 0 and gz % 2 == 0
+    assert not packed_out or all(g <= 1024 for g in occupied.shape), (
+        f"packed_out needs every fine-grid extent <= 1024: the coarse "
+        f"upsample doubles coordinates INSIDE the packed word (clc * 2), "
+        f"carry-safe only while every coarse coord fits 9 bits; got "
+        f"{occupied.shape}")
 
     fine_d2, fine_cl = edt_closest_auto(occupied, t_fine, interpret,
                                         packed_out=packed_out)

@@ -21,9 +21,10 @@ This kernel drains the counters in ONE pass over the grid:
 The kernel blocks the grid along x IN ITS NATIVE [X, Y, Z] layout — a
 2-D flattening would force relayout copies on every operand (pallas
 inputs must materialize in the requested layout), costing more than the
-kernel saves.  ``seen`` stays i1 end-to-end (plain load/or/store; only
-i1 reshapes are outside Mosaic's support), so the bool buffer aliases
-without a convert pass.
+kernel saves.  ``seen`` rides uint8 (``MapState.seen``; the kernel is
+dtype-generic via ``seen_dt``) — Mosaic widens i1 kernel IO to s32
+(4x VMEM + convert passes, grid.py), so u8 is the layout that aliases
+straight through without a convert pass.
 
 Insert/delete MASKS are not materialized — the rebuild path only needs
 their population counts (the incremental-queue path keeps the XLA

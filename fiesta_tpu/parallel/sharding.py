@@ -21,6 +21,7 @@ from __future__ import annotations
 
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -73,12 +74,20 @@ def distributed_mesh(
     return Mesh(np.array(jax.devices()), ("x",))
 
 
-def state_shardings(mesh: Mesh, closest_packed: bool = False) -> MapState:
+def state_shardings(mesh: Mesh, state: Optional[MapState] = None,
+                    closest_packed: Optional[bool] = None) -> MapState:
     """NamedShardings for MapState: [X,Y,Z] arrays sharded on X.
 
-    ``closest_packed``: the rebuild production format stores closest as
-    one packed [X,Y,Z] int32 (grid.closest_packed_state) — sharded like
-    any grid field; the [3,X,Y,Z] plane format shards on its axis 1."""
+    The closest field's format is INFERRED from ``state`` when given
+    (the only unambiguous source): the rebuild production format stores
+    closest as one packed [X,Y,Z] int32 (grid.closest_packed_state) —
+    sharded like any grid field; the [3,X,Y,Z] plane format shards on
+    its axis 1.  With neither ``state`` nor an explicit
+    ``closest_packed``, the PACKED production format is assumed (a
+    rank-4 spec on a rank-3 array — or vice versa — fails loudly at
+    device_put; prefer passing the state)."""
+    if closest_packed is None:
+        closest_packed = True if state is None else state.closest.ndim == 3
     s3 = NamedSharding(mesh, P("x", None, None))
     s4 = NamedSharding(mesh, P(None, "x", None, None))
     return MapState(
@@ -88,7 +97,7 @@ def state_shardings(mesh: Mesh, closest_packed: bool = False) -> MapState:
 
 
 def shard_state(state: MapState, mesh: Mesh) -> MapState:
-    sh = state_shardings(mesh, closest_packed=state.closest.ndim == 3)
+    sh = state_shardings(mesh, state)
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 

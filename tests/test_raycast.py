@@ -34,7 +34,8 @@ def _dda_reference(start, end, aabb_min, aabb_max):
         return (1 - (s % 1.0)) / ds
 
     tmax = np.array([intbound(start[i], d[i]) for i in range(3)])
-    tdelta = np.where(d == 0, np.inf, step / d)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tdelta = np.where(d == 0, np.inf, step / d)
     maxd2 = float(np.sum((np.array(end) - np.array(start)) ** 2))
     for _ in range(10000):
         v = np.array([x, y, z], float)
