@@ -28,6 +28,62 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Healthy-chip reference for the device-throughput probe below, measured
+# on THIS chip across healthy windows (PERF.md round 5).  The probe is a
+# fixed 300-pass elementwise fori_loop over an HBM-resident 256 MB f32
+# buffer (see device_throughput_probe) — its wall time tracks device
+# compute/HBM throughput, with the tunnel RTT <10% of the signal.  A
+# uniform environment slowdown (device duty cycle, co-located load)
+# shows up here at the same ratio it inflates the tick, which the tiny
+# RTT health probe cannot see (VERDICT r4 weak #1: BENCH_r04 read ~10%
+# above the builder's healthy band with a passing RTT probe).
+HEALTHY_PROBE_MS = 268.0     # calibrated round 5 (4 healthy reps: 267.9-269.4)
+PROBE_DEGRADED_RATIO = 1.25  # >25% above healthy = degraded window
+
+
+def device_throughput_probe(reps: int = 3) -> float:
+    """Milliseconds of pure device streaming compute for a fixed program
+    (best of ``reps`` — stalls are additive, so the fastest rep bounds
+    true device speed).
+
+    The program is a fori_loop of 300 elementwise passes over a 256 MB
+    f32 buffer — larger than VMEM, so the carry streams HBM — sized so
+    one run takes a few hundred ms and the tunnel round trip (~25-100 ms,
+    highly variable) is <10% of the signal.  (An earlier RTT-cancelling
+    long-minus-short differencing design was NOISIER, not cleaner: two
+    independent ~30 ms RTT draws per rep put +-20 ms on a ~15 ms
+    difference.)"""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prog(x):
+        def body(i, v):
+            return v * jnp.float32(0.999999) + jnp.float32(1e-7)
+        return jax.lax.fori_loop(0, 300, body, x).ravel()[0]
+
+    x = jnp.ones((8192, 8192), jnp.float32)   # 256 MB: HBM-resident
+    float(prog(x))                             # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(prog(x))
+        best = min(best, time.perf_counter() - t0)
+    return 1e3 * best
+
+
+def tunnel_rtt_ms(reps: int = 5) -> float:
+    """Median round-trip of a tiny readback (dispatch-latency probe)."""
+    import jax.numpy as jnp
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.ones((100, 100), jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    return 1e3 * sorted(ts)[len(ts) // 2]
+
+
 def wait_until_tunnel_healthy(budget_s: float = 900.0) -> None:
     """The axon tunnel occasionally enters a stall mode where EVERY device
     round trip blocks for minutes and then completes (PERF.md measurement
@@ -187,20 +243,32 @@ def main():
         float(jnp.sum(jnp.ones((1000, 1000), jnp.float32)))
         return time.perf_counter() - t0
 
-    # A UNIFORM tunnel slowdown inflates every rep equally and slips past
-    # the 1.5x filter — so the health gate runs AFTER each measurement
-    # too, and a stalled post-probe triggers a re-measurement instead of
-    # recording garbage (VERDICT r3 #4: BENCH_r03 was captured in a
-    # stall-mode window).
-    for attempt in range(3):
+    # Two failure modes gate the recorded value (VERDICT r3 #4 / r4 #1):
+    #   * stall mode — minutes-long round trips; the tiny RTT probe
+    #     catches it, and per-rep additive stalls fall to the 1.5x
+    #     filter;
+    #   * a UNIFORM slowdown (degraded device duty cycle / co-located
+    #     load) — inflates every rep equally AND passes the RTT probe;
+    #     only the fixed device-throughput program exposes it, as a
+    #     proportionally slower probe.  A degraded window triggers a
+    #     wait + re-measure; if it never clears, the value is recorded
+    #     with device_degraded=true so the artifact is attributable.
+    for attempt in range(4):
         st, stats, reps, clean = measure(st)
         post_probe = probe_s()
+        dev_ms = device_throughput_probe()
         tunnel_healthy = post_probe < 5.0
-        if tunnel_healthy:
+        device_degraded = dev_ms > HEALTHY_PROBE_MS * PROBE_DEGRADED_RATIO
+        log(f"post-measurement probes: rtt {post_probe * 1e3:.0f} ms, "
+            f"device {dev_ms:.2f} ms (healthy ref {HEALTHY_PROBE_MS})")
+        if tunnel_healthy and not device_degraded:
             break
-        log(f"measurement attempt {attempt + 1}: post-probe {post_probe:.1f}s"
-            " (stall mode) — discarding reps and waiting for recovery")
+        log(f"measurement attempt {attempt + 1}: "
+            + ("stall mode" if not tunnel_healthy else
+               f"degraded device window ({dev_ms:.1f} ms probe)")
+            + " — discarding reps and waiting for recovery")
         wait_until_tunnel_healthy(300.0)
+        time.sleep(20.0)
     pipe.state = st
     if len(clean) < len(reps):
         log(f"dropped {len(reps) - len(clean)} stalled reps "
@@ -225,8 +293,17 @@ def main():
         "value": round(batch_ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / batch_ms, 2),
-        "tunnel_healthy": tunnel_healthy,
+        "tunnel_healthy": tunnel_healthy and not device_degraded,
         "tunnel_probe_s": round(post_probe, 2),
+        # environment attribution (VERDICT r4 #1): the fixed-program
+        # device probe localizes uniform slowdowns the RTT probe cannot
+        "device_probe_ms": round(dev_ms, 2),
+        "device_probe_healthy_ms": HEALTHY_PROBE_MS,
+        "device_degraded": device_degraded,
+        "rtt_ms": round(tunnel_rtt_ms(), 1),
+        "dispatch_ms_per_batch": round(dispatch_ms, 2),
+        "rep_ms_per_batch": [round(m, 2) for m in
+                             (1e3 * r / n_batches for r in reps)],
         "rep_spread_ms": [round(clean_ms[0], 2), round(clean_ms[-1], 2)],
         "reps_used": len(clean),
     }))

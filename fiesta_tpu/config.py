@@ -202,6 +202,22 @@ class FiestaConfig:
     # pipeline.rebuild_tracks_closest reports the active engine.
     track_closest: bool = True
 
+    # Closest maintenance CADENCE in rebuild mode (track_closest on):
+    #   "lazy" (default): the tick computes d2 only; the closest grid is
+    #          derived on first query after a tick and cached on the
+    #          tick's d2 (pipeline.FiestaPipeline.closest_grid).  The
+    #          query surface matches the reference's always-current
+    #          closest_obstacle_ (ESDFMap.h:92-96) — for a rebuild-mode
+    #          map closest is a pure function of the occupancy, so
+    #          deriving at read time is semantics-identical to deriving
+    #          at write time — while the tick drops the ~1.1 ms/batch
+    #          packed-argmin payload cost (PERF.md round 5).
+    #   "eager": every tick maintains state.closest (the reference's
+    #          write cadence; pays the argmin passes per tick).  Queue
+    #          ("incremental") mode is always eager — its delete pass
+    #          consumes closest, so laziness cannot apply.
+    closest_mode: str = "lazy"
+
     # --- TPU-native knobs (no reference analog) ----------------------------
     # Exponential long-range relaxation offsets (0 = off, parity mode).
     # See jump_offsets(): preserves correctness, converges in O(log) sweeps.
@@ -253,6 +269,14 @@ class FiestaConfig:
     def num_voxels(self) -> int:
         x, y, z = self.grid_shape
         return x * y * z
+
+    @property
+    def lazy_closest(self) -> bool:
+        """Whether the production tick defers closest maintenance to the
+        query surface (closest_mode above).  Only the rebuild engine can
+        defer: queue mode's delete pass consumes closest in-tick."""
+        return (self.closest_mode == "lazy" and self.esdf_mode == "rebuild"
+                and self.track_closest)
 
     @property
     def prob_hit_log(self) -> float:
@@ -316,6 +340,10 @@ class FiestaConfig:
             raise ValueError(
                 f"unknown esdf_mode {self.esdf_mode!r} "
                 "(expected 'rebuild' or 'incremental')")
+        if self.closest_mode not in ("lazy", "eager"):
+            raise ValueError(
+                f"unknown closest_mode {self.closest_mode!r} "
+                "(expected 'lazy' or 'eager')")
         if self.track_closest and self.esdf_mode == "rebuild":
             # the reference maintains closest_obstacle_ unconditionally
             # (ESDFMap.h:92-96); refuse configs where no engine can, loudly,

@@ -23,7 +23,8 @@ from .config import FiestaConfig
 from .grid import INF_D2, MapState, occupied_grid
 
 
-def check_consistency(cfg: FiestaConfig, state: MapState) -> bool:
+def check_consistency(cfg: FiestaConfig, state: MapState,
+                      closest=None) -> bool:
     """Structural invariant check; raises AssertionError with detail on
     failure, returns True otherwise.
 
@@ -35,12 +36,20 @@ def check_consistency(cfg: FiestaConfig, state: MapState) -> bool:
     on the fine field only, and the far field is checked against the
     documented quantization envelope (|v-c|^2 within 2*sqrt(3*d2)+3 of
     d2; occupancy checked at BLOCK granularity).
+
+    ``closest``: the grid to validate against (pass
+    ``pipe.closest_grid()`` in lazy closest mode, where ``state.closest``
+    is intentionally stale between derives).  Defaults to
+    ``state.closest``; with the default under ``cfg.lazy_closest`` only
+    the closest-free invariants are checked.
     """
     from .ops.pallas.edt import trunc_vox_for
     from .pipeline import rebuild_tracks_closest
 
     d2 = np.asarray(state.d2)
-    closest = np.asarray(state.closest)
+    closest_stale = closest is None and cfg.lazy_closest
+    closest = np.asarray(
+        state.closest if closest is None else closest)
     if closest.ndim == 3:
         # packed rebuild format (grid.closest_packed_state): decode to
         # planes for the numpy invariants below
@@ -52,10 +61,12 @@ def check_consistency(cfg: FiestaConfig, state: MapState) -> bool:
         ]).astype(np.int64)
     occ = np.asarray(occupied_grid(cfg, state.logodds))
 
-    if cfg.esdf_mode == "rebuild" and not rebuild_tracks_closest(cfg):
+    if (cfg.esdf_mode == "rebuild"
+            and (not rebuild_tracks_closest(cfg) or closest_stale)):
         # closest is intentionally stale on this config (track_closest off,
-        # or the packed argmin exceeds its bit budget — see
-        # config.closest_capability); only the closest-free invariant holds
+        # the packed argmin exceeds its bit budget — see
+        # config.closest_capability — or lazy mode with no derived grid
+        # passed); only the closest-free invariant holds
         if occ.any() and not np.all(d2[occ] == 0):
             raise AssertionError("occupied voxel with nonzero distance")
         return True

@@ -54,6 +54,16 @@ class ShardedFiestaPipeline(FiestaPipeline):
         self._tick = sharding.sharded_fused_tick(cfg, self.mesh)
         self.scans_per_tick = int(scans_per_tick)
         self._pending: list = []   # (pts [P,3] np, valid [P] np, T [4,4] np)
+        self._derive_closest_fn = None   # lazy-built sharded derive (below)
+
+    def _derive_closest(self):
+        """Lazy closest derivation ON THE MESH (closest_grid's backend):
+        same answers as the single-device derive, computed shard-locally
+        with the composable argmin passes."""
+        if self._derive_closest_fn is None:
+            self._derive_closest_fn = sharding.sharded_derive_closest(
+                self.cfg, self.mesh)
+        return self._derive_closest_fn(self.state.logodds)
 
     # -- ingestion: buffer host-side, integrate at tick time ---------------
 

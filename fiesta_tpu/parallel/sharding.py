@@ -564,10 +564,15 @@ def _local_edt_closest(shape, n: int, trunc_vox: int, coord_scale: int = 1):
     return local_fn
 
 
-def _local_rebuild_esdf(cfg: FiestaConfig, n: int):
+def _local_rebuild_esdf(cfg: FiestaConfig, n: int,
+                        with_closest: Optional[bool] = None):
     """Shard-local production distance derivation, mirroring
     pipeline.rebuild_esdf feature for feature: single-level or
     hierarchical EDT, with closest tracking when supported.
+
+    ``with_closest``: None = auto (track when supported — the eager
+    cadence); False = d2 only (the lazy tick, pipeline.tick_rebuild_esdf
+    analog); True = require tracking support (the lazy derive path).
 
     Returns local_fn(occupied_local, x0) -> (d2_local, closest_or_None).
     """
@@ -578,7 +583,11 @@ def _local_rebuild_esdf(cfg: FiestaConfig, n: int):
     t_fine = trunc_vox_for(cfg.resolution, cfg.edt_fine_dist)
     gshape = cfg.grid_shape
     hier = t_fine < t_total and all(g % 2 == 0 for g in gshape)
-    track = sharded_closest_supported(cfg)
+    track = sharded_closest_supported(cfg) and with_closest is not False
+    if with_closest and not track:
+        raise ValueError(
+            "closest derivation requested on a config the sharded argmin "
+            "engine cannot serve (sharded_closest_supported)")
     lx = gshape[0] // n
 
     if not hier:
@@ -652,8 +661,11 @@ def sharded_rebuild_esdf(cfg: FiestaConfig, mesh: Mesh):
     gx = cfg.grid_shape[0]
     assert gx % n == 0, f"grid X={gx} must divide by mesh size {n}"
     lx = gx // n
-    local = _local_rebuild_esdf(cfg, n)
-    track = sharded_closest_supported(cfg)
+    # lazy closest mode: restores re-derive d2 only, like the lazy tick
+    # (queries re-derive closest via the engine's closest_grid)
+    local = _local_rebuild_esdf(
+        cfg, n, with_closest=False if cfg.lazy_closest else None)
+    track = sharded_closest_supported(cfg) and not cfg.lazy_closest
     from ..grid import closest_packed_state, pack_closest
 
     cl_packed = closest_packed_state(cfg)
@@ -679,6 +691,36 @@ def sharded_rebuild_esdf(cfg: FiestaConfig, mesh: Mesh):
         return (r[0], r[1]) if track else (r[0], None)
 
     return rebuild
+
+
+def sharded_derive_closest(cfg: FiestaConfig, mesh: Mesh):
+    """Jitted sharded closest derivation for the LAZY query path
+    (pipeline.derive_closest on the mesh): logodds [X,Y,Z] (sharded) ->
+    closest grid (packed int32 sharded on x, or i16 planes sharded on
+    axis 1).  Bitwise the grid an eager sharded tick writes — the argmin
+    rides the same composable passes (_local_edt_closest), and the
+    sharded tick is itself bit-exact vs single-device."""
+    from ..grid import closest_packed_state, occupied_grid, pack_closest
+
+    n = mesh.devices.size
+    gx = cfg.grid_shape[0]
+    assert gx % n == 0, f"grid X={gx} must divide by mesh size {n}"
+    lx = gx // n
+    local = _local_rebuild_esdf(cfg, n, with_closest=True)
+    cl_packed = closest_packed_state(cfg)
+
+    def local_fn(logodds):
+        x0 = jax.lax.axis_index("x").astype(jnp.int32) * lx
+        occ = occupied_grid(cfg, logodds)     # elementwise, shard-local
+        _, closest = local(occ, x0)
+        return pack_closest(closest) if cl_packed else closest
+
+    s3 = P("x", None, None)
+    scl = s3 if cl_packed else P(None, "x", None, None)
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh, in_specs=s3, out_specs=scl,
+        check_vma=False,
+    ))
 
 
 def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
@@ -722,7 +764,10 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         "sharded_fused_tick implements the rebuild path; use "
         "sharded_esdf_update for queue-semantics incremental mode")
     lx = gx // n
-    rebuild_local = _local_rebuild_esdf(cfg, n)
+    # lazy closest mode (cfg.closest_mode, production default): the tick
+    # computes d2 only; sharded_derive_closest serves the query surface
+    rebuild_local = _local_rebuild_esdf(
+        cfg, n, with_closest=False if cfg.lazy_closest else None)
     bx, by, bz = raycast._carve_box_shape(cfg)
     from ..grid import closest_packed_state, pack_closest
     from ..ops.pallas.fuse import fuse_counts_pallas, fuse_supported

@@ -196,6 +196,38 @@ def rebuild_esdf(cfg: FiestaConfig, occupied: jax.Array):
 rebuild_esdf_jit = partial(jax.jit, static_argnames=("cfg",))(rebuild_esdf)
 
 
+def tick_rebuild_esdf(cfg: FiestaConfig, occupied: jax.Array):
+    """What the TICK derives: (d2, closest-or-None).  In lazy closest
+    mode (``cfg.closest_mode`` — the production default) the tick skips
+    the packed-argmin payload passes (~1.1 ms/batch at cow scale,
+    PERF.md round 5) and closest is derived at the query surface instead
+    (``FiestaPipeline.closest_grid``); eager mode matches the
+    reference's per-update write cadence (ESDFMap.h:92-96)."""
+    if cfg.lazy_closest:
+        return rebuild_d2(cfg, occupied), None
+    return rebuild_esdf(cfg, occupied)
+
+
+tick_rebuild_esdf_jit = partial(jax.jit,
+                                static_argnames=("cfg",))(tick_rebuild_esdf)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def derive_closest(cfg: FiestaConfig, logodds: jax.Array) -> jax.Array:
+    """Fresh closest-obstacle grid for the CURRENT occupancy (the lazy
+    query path).  In rebuild mode closest is a pure function of the
+    occupancy, so this is bitwise the grid an eager tick would have
+    written (the argmin rides the same packed min-plus passes,
+    ops/pallas/edt.truncated_edt_d2_closest); tests pin lazy == eager.
+    Callers gate on ``rebuild_tracks_closest``."""
+    occ = occupied_grid(cfg, logodds)
+    _, closest = rebuild_esdf(cfg, occ)
+    assert closest is not None, (
+        "derive_closest on a config without a closest engine; gate on "
+        "pipeline.rebuild_tracks_closest")
+    return closest
+
+
 @partial(jax.jit, static_argnames=("cfg", "use_window", "max_iters"),
          donate_argnames=("state",))
 def esdf_update(
@@ -230,7 +262,7 @@ def esdf_update(
                 clamp_min=cfg.clamp_min_log, clamp_max=cfg.clamp_max_log,
                 occ_thresh=on, occ_is_eq=off_eq,
             )
-        d2, closest = rebuild_esdf(cfg, occ)
+        d2, closest = tick_rebuild_esdf(cfg, occ)
         if closest is None:
             closest = state.closest
         return (
@@ -245,9 +277,9 @@ def esdf_update(
         window_mask=wmask,
     )
     if cfg.esdf_mode == "rebuild":
-        d2, closest = rebuild_esdf(cfg, fr.occupied)
+        d2, closest = tick_rebuild_esdf(cfg, fr.occupied)
         if closest is None:
-            closest = state.closest   # tracking unsupported: left stale
+            closest = state.closest   # lazy mode / tracking unsupported
         sweeps = jnp.int32(0)
     else:
         d2, closest, sweeps = esdf.update_esdf(
@@ -543,6 +575,8 @@ class FiestaPipeline:
         self.image_cnt = 0
         self._sdf_cache = None
         self._sdf_src = None
+        self._closest_cache = None
+        self._closest_src = None
 
     # -- ingestion ---------------------------------------------------------
 
@@ -749,15 +783,38 @@ class FiestaPipeline:
             self.cfg, self.distance_grid(), jnp.asarray(positions, jnp.float32)
         )
 
+    def _derive_closest(self) -> jax.Array:
+        """Fresh closest grid from the current occupancy (overridden by
+        the sharded engine to run on its mesh)."""
+        return derive_closest(self.cfg, self.state.logodds)
+
+    def closest_grid(self) -> jax.Array:
+        """Current closest-obstacle grid (packed int32 or i16 planes,
+        grid.closest_packed_state).  In lazy mode (``cfg.closest_mode``,
+        the production default) it is derived on first call after a tick
+        and cached on the tick's d2 identity — any state change (tick,
+        recenter, restore) replaces d2 and invalidates the cache; eager
+        mode reads the per-tick-maintained ``state.closest``."""
+        if not self.cfg.lazy_closest:
+            return self.state.closest
+        if (self._closest_cache is not None
+                and self._closest_src is self.state.d2):
+            return self._closest_cache
+        self._closest_cache = self._derive_closest()
+        self._closest_src = self.state.d2
+        return self._closest_cache
+
     def query_closest_obstacle(self, positions):
         """Nearest-obstacle world coordinates + distance per query position
-        (reads state.closest; see ops.query.get_closest_obstacle).  In
-        rebuild mode requires closest tracking (cfg.track_closest and a
-        grid the packed argmin fits — pipeline.rebuild_tracks_closest)."""
+        (see ops.query.get_closest_obstacle).  In rebuild mode requires
+        closest tracking (cfg.track_closest and a grid an argmin engine
+        fits — pipeline.rebuild_tracks_closest); reads ``closest_grid()``
+        so lazy mode serves the same always-current answers the eager
+        reference cadence gives (closest_obstacle_, ESDFMap.h:92-96)."""
         from .ops.query import get_closest_obstacle
 
         return get_closest_obstacle(
-            self.cfg, self.state.closest, self.state.d2, self.state.seen,
+            self.cfg, self.closest_grid(), self.state.d2, self.state.seen,
             jnp.asarray(positions, jnp.float32),
         )
 

@@ -336,10 +336,13 @@ class ScrollingMixin:
         occ = occupied_grid(cfg, self.state.logodds)
         if cfg.esdf_mode == "rebuild":
             # module-level cached jit: a per-call jax.jit wrapper would
-            # retrace+recompile the whole EDT program on EVERY restore
-            from .pipeline import rebuild_esdf_jit
+            # retrace+recompile the whole EDT program on EVERY restore.
+            # The TICK variant respects lazy closest mode (the restore
+            # leaves closest untouched there; queries re-derive via
+            # closest_grid, whose d2-identity cache this invalidates)
+            from .pipeline import tick_rebuild_esdf_jit
 
-            d2, closest = rebuild_esdf_jit(cfg, occ)
+            d2, closest = tick_rebuild_esdf_jit(cfg, occ)
             self.state = dataclasses.replace(
                 self.state, d2=d2,
                 closest=self.state.closest if closest is None else closest,

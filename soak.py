@@ -129,7 +129,10 @@ def run_leg(args):
         n_updates += 1
         if args.check_every and n_updates % args.check_every == 0:
             pipe.sync_device()
-            debug.check_consistency(cfg, pipe.state)      # C20 structural
+            # C20 structural invariants: pass the derived closest so
+            # lazy mode still faces the FULL closest-vs-d2 checks
+            debug.check_consistency(cfg, pipe.state,
+                                    closest=pipe.closest_grid())
             gt = debug.check_with_ground_truth(cfg, pipe.state)
             checks.append(dict(
                 frame=i, num_known=gt["num_known"],
@@ -152,7 +155,7 @@ def run_leg(args):
     wall = time.perf_counter() - t0
 
     # final C20 oracle
-    debug.check_consistency(cfg, pipe.state)
+    debug.check_consistency(cfg, pipe.state, closest=pipe.closest_grid())
     gt = debug.check_with_ground_truth(cfg, pipe.state)
 
     final = {f: np.asarray(getattr(pipe.state, f))

@@ -53,8 +53,11 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_check_consistency_passes_and_detects():
+    # this state carries a CALLER-built closest: pass it explicitly so
+    # the full invariants run (the lazy default treats an unpassed
+    # closest as intentionally stale — pipelines pass closest_grid())
     state = _built_state()
-    assert debug.check_consistency(CFG, state)
+    assert debug.check_consistency(CFG, state, closest=state.closest)
 
     import dataclasses
 
@@ -62,7 +65,7 @@ def test_check_consistency_passes_and_detects():
         state, d2=state.d2.at[0, 0, 0].set(17)
     )
     try:
-        debug.check_consistency(CFG, bad)
+        debug.check_consistency(CFG, bad, closest=bad.closest)
         raise RuntimeError("should have failed")
     except AssertionError:
         pass
@@ -299,7 +302,21 @@ def test_checkpoint_loads_pre_round4_state_formats(tmp_path):
         jnp.asarray([[0.15, 0.25, 0.35]], jnp.float32))
     assert dist.shape == (1,)
 
-    # the first rebuild tick replaces it with the packed production format
-    st3, _ = esdf_update(cfg2, st2, jnp.zeros(3, jnp.float32))
+    # the first EAGER rebuild tick replaces it with the packed production
+    # format (the lazy default leaves state.closest untouched by design —
+    # its query surface derives the packed grid below)
+    cfg_e = dataclasses.replace(cfg2, closest_mode="eager")
+    st3, _ = esdf_update(cfg_e, st2, jnp.zeros(3, jnp.float32))
     assert st3.closest.ndim == 3 and st3.closest.dtype == jnp.int32
     assert bool((np.asarray(st3.closest) >= 0).any())
+
+    # lazy default: the tick preserves the legacy planes; the query-path
+    # derive serves the packed production grid, bitwise the eager tick's.
+    # (fresh load: st2's buffers were DONATED to the eager tick above)
+    _, st2b = checkpoint.load(path)
+    st4, _ = esdf_update(cfg2, st2b, jnp.zeros(3, jnp.float32))
+    assert st4.closest.ndim == 4                # untouched legacy planes
+    from fiesta_tpu.pipeline import derive_closest
+
+    cl = derive_closest(cfg2, st4.logodds)
+    np.testing.assert_array_equal(np.asarray(cl), np.asarray(st3.closest))

@@ -260,27 +260,34 @@ def test_fused_depth_tick_and_stream():
     assert int(np.asarray(st_stream.seen).sum()) > 0
 
 
-def test_rebuild_mode_maintains_closest():
-    """The production rebuild tick populates state.closest (reference
-    closest_obstacle_, ESDFMap.h:92-96) and the C20 structural invariants
-    hold — closest names an occupied voxel at exactly sqrt(d2)."""
+@pytest.mark.parametrize("closest_mode", ["lazy", "eager"])
+def test_rebuild_mode_maintains_closest(closest_mode):
+    """The production rebuild engine serves closest-obstacle coords
+    (reference closest_obstacle_, ESDFMap.h:92-96) and the C20 structural
+    invariants hold — closest names an occupied voxel at exactly
+    sqrt(d2).  Both cadences: eager (per-tick maintenance) and lazy (the
+    production default — derived at the query surface, closest_grid)."""
     import dataclasses
 
     from fiesta_tpu import debug
     from fiesta_tpu.pipeline import rebuild_tracks_closest
 
     cfg = dataclasses.replace(SMALL, esdf_mode="rebuild", trunc_dist=2.0,
-                              edt_fine_dist=2.0)
+                              edt_fine_dist=2.0, closest_mode=closest_mode)
     assert rebuild_tracks_closest(cfg)
     _, pipe = _run_replay("scanline", cfg=cfg)
     from fiesta_tpu.grid import closest_packed_state, unpack_closest
 
     assert closest_packed_state(cfg)   # production state format is packed
-    assert pipe.state.closest.ndim == 3
-    closest = np.asarray(unpack_closest(pipe.state.closest))
+    if closest_mode == "lazy":
+        # the tick leaves state.closest untouched; the query surface derives
+        assert not (np.asarray(pipe.state.closest) >= 0).any()
+    grid = pipe.closest_grid()
+    assert grid.ndim == 3
+    closest = np.asarray(unpack_closest(grid))
     d2 = np.asarray(pipe.state.d2)
     assert (closest[0] >= 0).any(), "no closest recorded after replay"
-    assert debug.check_consistency(cfg, pipe.state)
+    assert debug.check_consistency(cfg, pipe.state, closest=grid)
 
     # closest-point query API: query from voxel centers that are mapped
     # (seen, defined closest) so the answers must be defined
@@ -319,6 +326,68 @@ def test_rebuild_closest_off_flag():
 
     cfg = dataclasses.replace(SMALL, track_closest=False)
     assert not rebuild_tracks_closest(cfg)
+
+
+def test_lazy_closest_bitwise_matches_eager():
+    """The lazy derive (closest_grid after a tick) is BITWISE the grid
+    the eager tick writes — same packed-argmin passes over the same
+    occupancy (pipeline.derive_closest), so the query surface cannot
+    tell the cadences apart."""
+    import dataclasses
+
+    base = dataclasses.replace(SMALL, trunc_dist=2.0, edt_fine_dist=2.0)
+    _, lazy = _run_replay(
+        "scanline", cfg=dataclasses.replace(base, closest_mode="lazy"))
+    _, eager = _run_replay(
+        "scanline", cfg=dataclasses.replace(base, closest_mode="eager"))
+    np.testing.assert_array_equal(np.asarray(lazy.closest_grid()),
+                                  np.asarray(eager.state.closest))
+    # and the cache is a cache: same array object until the next tick
+    assert lazy.closest_grid() is lazy.closest_grid()
+
+
+def test_lazy_closest_invalidated_by_tick():
+    """query -> tick -> query returns FRESH coords: the d2-identity cache
+    must not serve a pre-tick closest grid after the map changes."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fiesta_tpu.grid import make_state
+    from fiesta_tpu.pipeline import fused_batch_step
+
+    cfg = dataclasses.replace(SMALL, trunc_dist=2.0, edt_fine_dist=2.0,
+                              max_points_per_scan=256)
+    assert cfg.lazy_closest   # lazy is the production default
+    pipe = FiestaPipeline(cfg, method="scanline")
+
+    def tick(center):
+        pts = np.full((1, 256, 3), np.nan, np.float32)
+        pts[0, :8] = center + np.linspace(0, 0.04, 24).reshape(8, 3)
+        tfs = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+        pipe.state, _ = fused_batch_step(
+            cfg, pipe.state, jnp.asarray(pts),
+            jnp.asarray(np.isfinite(pts).all(-1)), jnp.asarray(tfs),
+            jnp.zeros(3, jnp.float32), method="scanline")
+
+    for _ in range(2):      # two hits cross the log-odds occ threshold
+        tick(np.array([1.0, 1.0, 0.5], np.float32))
+    g1 = np.asarray(pipe.closest_grid())
+    assert (g1 >= 0).any()
+    for _ in range(2):
+        tick(np.array([-1.5, -1.5, 0.2], np.float32))  # new cluster
+    g2 = np.asarray(pipe.closest_grid())
+    assert not np.array_equal(g1, g2), "post-tick query served stale closest"
+    # the fresh grid covers the new cluster: some voxel's closest now
+    # decodes to coords inside the second cluster's region
+    from fiesta_tpu.grid import pos_to_vox
+
+    v2 = np.asarray(pos_to_vox(cfg, np.array([-1.5, -1.5, 0.2],
+                                             np.float32)))
+    packed = g2[g2 >= 0]
+    coords = np.stack([packed >> 20, (packed >> 10) & 1023, packed & 1023],
+                      axis=-1)
+    assert (np.abs(coords - v2).max(axis=-1) <= 2).any()
 
 
 def test_check_consistency_hierarchical_mode():

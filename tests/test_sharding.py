@@ -464,17 +464,41 @@ def _compare_tick(cfg, use_window, n_ticks=2, compare_closest=True):
     np.testing.assert_array_equal(np.asarray(state.d2),
                                   np.asarray(ref_state.d2))
     if compare_closest:
-        np.testing.assert_array_equal(np.asarray(state.closest),
-                                      np.asarray(ref_state.closest))
-        assert (np.asarray(state.closest) >= 0).any()
+        if cfg.lazy_closest:
+            # production default: ticks defer closest; the QUERY-path
+            # derives must agree bit-exactly (sharded vs single device)
+            from fiesta_tpu.pipeline import derive_closest
+
+            sh = sharding.sharded_derive_closest(cfg, mesh)(state.logodds)
+            ref_cl = derive_closest(cfg, ref_state.logodds)
+            np.testing.assert_array_equal(np.asarray(sh),
+                                          np.asarray(ref_cl))
+            assert (np.asarray(sh) >= 0).any()
+        else:
+            np.testing.assert_array_equal(np.asarray(state.closest),
+                                          np.asarray(ref_state.closest))
+            assert (np.asarray(state.closest) >= 0).any()
     return state, ref_state
 
 
 def test_sharded_closest_matches_single_device():
-    """The sharded rebuild tracks closest-obstacle coords bit-exactly vs
+    """The sharded rebuild serves closest-obstacle coords bit-exactly vs
     the single-device packed-argmin transform (split-sign pass rides the
-    X halos; payload passes are shard-local)."""
+    X halos; payload passes are shard-local) — through the LAZY
+    query-path derive (production default; _compare_tick routes the
+    comparison through sharded_derive_closest)."""
     cfg = _tick_cfg()
+    assert cfg.lazy_closest
+    assert sharding.sharded_closest_supported(cfg)
+    _compare_tick(cfg, use_window=False)
+
+
+def test_sharded_eager_closest_matches_single_device():
+    """The EAGER cadence (closest_mode="eager": per-tick maintenance in
+    state.closest) stays bit-exact on the mesh too."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tick_cfg(), closest_mode="eager")
     assert sharding.sharded_closest_supported(cfg)
     _compare_tick(cfg, use_window=False)
 
