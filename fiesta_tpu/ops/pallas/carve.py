@@ -61,14 +61,45 @@ def _taps(c, f2, f3, c2: int, c3: int):
     return out
 
 
+def _swap_last2(v):
+    """Per-k trailing-dims transpose of a [K, P, Q] VMEM value -> [K, Q, P].
+
+    Mosaic legalizes 2-D ``x.T`` on f32 VMEM values (probed round 4,
+    PERF.md); the K loop is static (K = scans/tick, typically 3) and the
+    stack is a major-dim concat."""
+    k = v.shape[0]
+    if k == 1:
+        return v[0].T[None]
+    return jnp.stack([v[i].T for i in range(k)])
+
+
 def octant_free_sweep_pallas(
     seed_vols, po_rows, o2_rows, o3_rows, tie_rules,
     res: float, min_ray: float, max_ray: float, interpret: bool = False,
+    modes=None,
 ):
     """Fused octant sweeps producing per-octant FREE masks directly.
 
     seed_vols: list of [K, A, C2, C3] f32 UNMASKED seed volumes, each
       transposed so its scan axis leads; all must share A.
+
+    modes: per-volume IO layout (default "lead" for all):
+      "lead"   — seeds [K, A, C2, C3], scan axis leads (pre-transposed in
+                 HBM); outputs in the same layout.
+      "canon1" — seeds in CANONICAL grid layout [K, A, C3, C2] (scan axis
+                 at dim 1; trailing dims swapped relative to the sweep's
+                 (C2, C3) working layout).  Sub-slabs transpose to/from
+                 the working layout IN VMEM (_swap_last2) and outputs are
+                 written canonical — no HBM relayout on either side.
+                 This is the x orientation reading [K, BX, BY, BZ]
+                 directly (c2=z, c3=y).
+      "canon2" — same, scan axis at dim 2: seeds [K, C3, A, C2] (the y
+                 orientation reading [K, BX, BY, BZ]; c2=z, c3=x).  The
+                 sub-slab slice is a static SUBLANE slice (cheap
+                 constant-offset shuffles; only dynamic sublane slices
+                 are expensive on this toolchain, PERF.md round 3).
+      The z orientation keeps "lead": canonical blocks would put its scan
+      axis on the LANE dim — 16x VMEM padding at u<=16 of 128 lanes.
     po_rows:   list of [3, K] f32 — sensor coord along (axis, c2, c3).
     o2_rows:   list of [K, C2] f32 (c2 coords - sensor); o3_rows same.
     tie_rules: list of (ge2, ge3) — whether this orientation's scan axis
@@ -97,9 +128,24 @@ def octant_free_sweep_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     n = len(seed_vols)
-    shapes = [tuple(v.shape) for v in seed_vols]
-    a = shapes[0][1]
-    assert all(s[1] == a for s in shapes), "scan-axis lengths must match"
+    if modes is None:
+        modes = ["lead"] * n
+    assert all(m in ("lead", "canon1", "canon2") for m in modes)
+    ax_dim = [2 if m == "canon2" else 1 for m in modes]
+
+    def ldims(shape, mode):
+        """Logical (k, a, c2, c3) from the stored shape."""
+        if mode == "lead":
+            k, a_, c2, c3 = shape
+        elif mode == "canon1":
+            k, a_, c3, c2 = shape
+        else:                       # canon2
+            k, c3, a_, c2 = shape
+        return k, a_, c2, c3
+
+    dims = [ldims(tuple(v.shape), m) for v, m in zip(seed_vols, modes)]
+    a = dims[0][1]
+    assert all(d[1] == a for d in dims), "scan-axis lengths must match"
     inv_res = np.float32(1.0 / res)
     resf = np.float32(res)
     min2 = np.float32((min_ray / res) ** 2)
@@ -112,18 +158,27 @@ def octant_free_sweep_pallas(
     # slabs) and its outputs are sliced off.
     from .edt import _pick_block
 
-    u = _pick_block(a, 16)
-    pad = 0
-    if u < 4:
+    if any(m == "canon2" for m in modes):
+        # canon2 blocks carry U on the SUBLANE dim: Mosaic requires the
+        # second-minor block extent be a multiple of 8 (or the full dim),
+        # so U must be 8/16 and the axis padded to match
         pad = -a % 8
-        u = _pick_block(a + pad, 16)
+        u = 16 if (a + pad) % 16 == 0 else 8
+    else:
+        u = _pick_block(a, 16)
+        pad = 0
+        if u < 4:
+            pad = -a % 8
+            u = _pick_block(a + pad, 16)
     ap = a + pad
     if pad:
         seed_vols = [
-            jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            for v in seed_vols
+            jnp.pad(v, [(0, pad) if d == ax_dim[i] else (0, 0)
+                        for d in range(4)])
+            for i, v in enumerate(seed_vols)
         ]
-        shapes = [tuple(v.shape) for v in seed_vols]
+        dims = [ldims(tuple(v.shape), m)
+                for v, m in zip(seed_vols, modes)]
     n_steps = ap // u
 
     def kernel(*refs):
@@ -142,7 +197,8 @@ def octant_free_sweep_pallas(
 
         gf = g.astype(jnp.float32)
         for i in range(n):
-            k, _, c2, c3 = shapes[i]
+            k, _, c2, c3 = dims[i]
+            mode = modes[i]
             ge2, ge3 = tie_rules[i]
             (s_fwd, s_rev, po_ref, o2_ref, o3_ref,
              lims_ref) = ins[6 * i:6 * i + 6]
@@ -172,9 +228,10 @@ def octant_free_sweep_pallas(
                 def _(sref=sref, oref=oref, carry=carry, base=base,
                       rev=rev, ge2=ge2, ge3=ge3, k=k, c2=c2, c3=c3,
                       o2v=o2v, o3v=o3v, ao2=ao2, ao3=ao3, r2_3=r2_3,
-                      po=po):
+                      po=po, mode=mode):
                     w = carry[:]
-                    block = sref[:]                  # [K, U, C2, C3]
+                    block = sref[:]   # lead/canon1: [K,U,..]; canon2: [K,C3,U,C2]
+                    sub_outs = [None] * u   # canon2: staged block store
                     for sub in (range(u - 1, -1, -1) if rev else range(u)):
                         idx = base + jnp.float32(sub)
                         # Mosaic note: minor dims are only inserted on 2-D
@@ -188,7 +245,16 @@ def octant_free_sweep_pallas(
                         m2f = (m2 & sgn).astype(jnp.float32)[:, :, None]
                         m3f = m3.astype(jnp.float32)[:, None, :]
                         mask = m2f * m3f     # seeds >= 0: * == where
-                        slab = block[:, sub] * mask
+                        # canonical IO: the sub-slab transposes to the
+                        # (C2, C3) working layout in VMEM — no HBM
+                        # relayout of the seed volume (PERF.md round 5)
+                        if mode == "lead":
+                            raw = block[:, sub]            # [K, C2, C3]
+                        elif mode == "canon1":
+                            raw = _swap_last2(block[:, sub])
+                        else:                              # canon2
+                            raw = _swap_last2(block[:, :, sub, :])
+                        slab = raw * mask
                         d = jnp.maximum(adax, 0.5)       # [K, 1]
                         w = jnp.maximum(slab, _taps(w, o2v / d, o3v / d,
                                                     c2, c3))
@@ -204,22 +270,54 @@ def octant_free_sweep_pallas(
                         wv = (w - resf) * inv_res
                         free = ((w > resf) & (r2 >= min2) & (r2 <= max2)
                                 & (r2 < wv * wv))
-                        oref[:, sub] = free.astype(jnp.uint8)
+                        if mode == "lead":
+                            oref[:, sub] = free.astype(jnp.uint8)
+                        elif mode == "canon1":
+                            # swap back on f32 (the probed transpose
+                            # dtype); Mosaic has no f32->u8 cast, so
+                            # round-trip through i32 at the store
+                            fr = _swap_last2(free.astype(jnp.float32))
+                            oref[:, sub] = fr.astype(
+                                jnp.int32).astype(jnp.uint8)
+                        else:
+                            # canon2: a partial u8 store into the SUBLANE
+                            # dim does not legalize — stage the block and
+                            # store once after the sub loop
+                            sub_outs[sub] = _swap_last2(
+                                free.astype(jnp.float32))
+                    if mode == "canon2":
+                        st = jnp.stack(sub_outs, axis=2)
+                        oref[:] = st.astype(jnp.int32).astype(jnp.uint8)
                     carry[:] = w
 
                 @pl.when(jnp.logical_not(useful))
                 def _(oref=oref):
                     oref[:] = jnp.zeros_like(oref)
 
+    def vol_block(i):
+        """(block_shape, fwd index map, rev index map) for volume i."""
+        k, _, c2, c3 = dims[i]
+        if modes[i] == "lead":
+            return ((k, u, c2, c3),
+                    lambda g: (0, g, 0, 0),
+                    lambda g, s_=n_steps: (0, s_ - 1 - g, 0, 0))
+        if modes[i] == "canon1":
+            return ((k, u, c3, c2),
+                    lambda g: (0, g, 0, 0),
+                    lambda g, s_=n_steps: (0, s_ - 1 - g, 0, 0))
+        return ((k, c3, u, c2),            # canon2
+                lambda g: (0, 0, g, 0),
+                lambda g, s_=n_steps: (0, 0, s_ - 1 - g, 0))
+
     in_specs = []
     args = []
     for i, v in enumerate(seed_vols):
-        k, _, c2, c3 = shapes[i]
-        in_specs.append(pl.BlockSpec((k, u, c2, c3), lambda g: (0, g, 0, 0),
+        k, _, c2, c3 = dims[i]
+        bshape, fwd_map, rev_map = vol_block(i)
+        in_specs.append(pl.BlockSpec(bshape, fwd_map,
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec(
-            (k, u, c2, c3), lambda g, s_=n_steps: (0, s_ - 1 - g, 0, 0),
-            memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(bshape, rev_map,
+                                     memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((3, k), lambda g: (0, 0),
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((k, c2), lambda g: (0, 0),
@@ -235,15 +333,16 @@ def octant_free_sweep_pallas(
     out_specs = []
     scratch = []
     for i in range(n):
-        k, _, c2, c3 = shapes[i]
-        out_shape.append(jax.ShapeDtypeStruct((k, ap, c2, c3), jnp.uint8))
-        out_shape.append(jax.ShapeDtypeStruct((k, ap, c2, c3), jnp.uint8))
-        out_specs.append(pl.BlockSpec(
-            (k, u, c2, c3), lambda g: (0, g, 0, 0),
-            memory_space=pltpu.VMEM))
-        out_specs.append(pl.BlockSpec(
-            (k, u, c2, c3), lambda g, s_=n_steps: (0, s_ - 1 - g, 0, 0),
-            memory_space=pltpu.VMEM))
+        k, _, c2, c3 = dims[i]
+        bshape, fwd_map, rev_map = vol_block(i)
+        full = tuple(ap if d == (2 if modes[i] == "canon2" else 1)
+                     else bshape[d] for d in range(4))
+        out_shape.append(jax.ShapeDtypeStruct(full, jnp.uint8))
+        out_shape.append(jax.ShapeDtypeStruct(full, jnp.uint8))
+        out_specs.append(pl.BlockSpec(bshape, fwd_map,
+                                      memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec(bshape, rev_map,
+                                      memory_space=pltpu.VMEM))
         scratch.append(pltpu.VMEM((k, c2, c3), jnp.float32))
         scratch.append(pltpu.VMEM((k, c2, c3), jnp.float32))
 
@@ -260,5 +359,6 @@ def octant_free_sweep_pallas(
         interpret=interpret,
     )(*args)
     if pad:
-        outs = [o[:, :a] for o in outs]
+        outs = [o[:, :, :a] if modes[i // 2] == "canon2" else o[:, :a]
+                for i, o in enumerate(outs)]
     return list(outs)

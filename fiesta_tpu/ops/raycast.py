@@ -63,6 +63,26 @@ from ..config import FiestaConfig
 from ..grid import pos_to_vox, vox_in_grid, vox_to_idx
 from ..grid import window_mask as make_window_mask
 
+#: carve sweep IO layout, all bit-equal (override for A/B runs):
+#:   "relayout" (DEFAULT) — pre-transposed HBM seed copies per
+#:     orientation + u8 combine transposes (the round-4 form).
+#:   "canon" — x/y kernels read/write the canonical grid layout,
+#:     sub-slabs transposed in VMEM ("canon1"/"canon2" kernel modes);
+#:   "canonx" — x only canonical.
+#: Round-5 on-chip A/B REJECTED canon as the default: in-VMEM sub-slab
+#: transposes lower to the same ~8 Gelem/s element-rate wall as XLA's
+#: HBM relayouts (measured 1.4-1.6 ms per 45 MB volume BOTH ways), so
+#: moving them into the kernel serializes them against the sweep instead
+#: of letting XLA schedule them — cow-scale stream 10.3-10.5 (canon) vs
+#: 9.8-10.1 ms/batch (relayout).  The modes stay for future toolchains
+#: with a faster transpose lowering; interpret tests pin bit-equality.
+import os as _os_env  # noqa: E402
+
+_CARVE_IO = _os_env.environ.get("FIESTA_CARVE_IO", "relayout")
+if _CARVE_IO not in ("canon", "canonx", "relayout"):
+    raise ValueError(
+        f"FIESTA_CARVE_IO={_CARVE_IO!r}: expected canon|canonx|relayout")
+
 _F32_INF = np.float32(np.inf)  # numpy on purpose: see grid.INF_D2 note
 
 
@@ -400,10 +420,14 @@ def _free_from_r2(cfg: FiestaConfig, r2, W):
     )
 
 
-def _carve_free_tpu(cfg: FiestaConfig, seeds, po, interpret: bool = False):
+def _carve_free_tpu(cfg: FiestaConfig, seeds, po, interpret: bool = False,
+                    io_mode: Optional[str] = None):
     """TPU path: octant masking, propagation, and the free test all run
     inside the sweep kernels (see ops/pallas/carve.py); HBM sees only raw
-    seed volumes in and uint8 per-octant free masks out."""
+    seed volumes in and uint8 per-octant free masks out.
+
+    ``io_mode``: "canon" | "relayout" (default ``FIESTA_CARVE_IO``); see
+    the gate comment at the top of this module."""
     from .pallas.carve import octant_free_sweep_pallas
 
     k, bx, by, bz = seeds.shape
@@ -421,14 +445,57 @@ def _carve_free_tpu(cfg: FiestaConfig, seeds, po, interpret: bool = False):
     po_x = jnp.stack([po[:, 0], po[:, 2], po[:, 1]])   # [3, K]
     po_y = jnp.stack([po[:, 1], po[:, 2], po[:, 0]])
     po_z = jnp.stack([po[:, 2], po[:, 0], po[:, 1]])
-    sx = seeds.transpose(0, 1, 3, 2)   # [K, BX, BZ, BY]
-    sy = seeds.transpose(0, 2, 3, 1)   # [K, BY, BZ, BX]
-    sz = seeds.transpose(0, 3, 1, 2)   # [K, BZ, BX, BY]
     kw = dict(res=cfg.resolution, min_ray=cfg.min_ray_length,
               max_ray=cfg.max_ray_length, interpret=interpret)
+    sz = seeds.transpose(0, 3, 1, 2)   # [K, BZ, BX, BY]
 
     # orientation tie rules define the octant partition: the dominant axis
-    # is the max-magnitude one, ties broken x > y > z
+    # is the max-magnitude one, ties broken x > y > z.
+    #
+    # x/y IO: the kernels read the CANONICAL seed volume and write
+    # canonical free masks, swapping each sub-slab to the (c2=z, c3=long)
+    # working layout in VMEM ("canon1"/"canon2" modes, ops/pallas/carve)
+    # — killing two f32 seed relayouts and two u8 combine relayouts in
+    # HBM (PERF.md round 5).  z keeps the HBM transpose: its scan axis is
+    # the canonical LANE dim, where u<=16-of-128 blocks would pad 16x in
+    # VMEM.  FIESTA_CARVE_IO=relayout restores the all-transposed form
+    # for A/B (bit-equal; tests pin it).
+    mode = io_mode or _CARVE_IO
+    if mode == "canon":
+        if bx == by:
+            fx_f, fx_r, fy_f, fy_r = octant_free_sweep_pallas(
+                [seeds, seeds], [po_x, po_y], [o_z, o_z], [o_y, o_x],
+                [(True, True), (True, False)],
+                modes=["canon1", "canon2"], **kw)
+        else:
+            fx_f, fx_r = octant_free_sweep_pallas(
+                [seeds], [po_x], [o_z], [o_y], [(True, True)],
+                modes=["canon1"], **kw)
+            fy_f, fy_r = octant_free_sweep_pallas(
+                [seeds], [po_y], [o_z], [o_x], [(True, False)],
+                modes=["canon2"], **kw)
+        fz_f, fz_r = octant_free_sweep_pallas(
+            [sz], [po_z], [o_x], [o_y], [(False, False)], **kw)
+        free = (fx_f | fx_r) | (fy_f | fy_r) \
+            | (fz_f | fz_r).transpose(0, 2, 3, 1)
+        return free > 0
+    if mode == "canonx":
+        # hybrid probe: only x reads/writes canonical (no sublane-blocked
+        # volume in the call, so U keeps the _pick_block granularity)
+        sy = seeds.transpose(0, 2, 3, 1)
+        fx_f, fx_r, fy_f, fy_r = octant_free_sweep_pallas(
+            [seeds, sy], [po_x, po_y], [o_z, o_z], [o_y, o_x],
+            [(True, True), (True, False)],
+            modes=["canon1", "lead"], **kw)
+        fz_f, fz_r = octant_free_sweep_pallas(
+            [sz], [po_z], [o_x], [o_y], [(False, False)], **kw)
+        free = (fx_f | fx_r) \
+            | (fy_f | fy_r).transpose(0, 3, 1, 2) \
+            | (fz_f | fz_r).transpose(0, 2, 3, 1)
+        return free > 0
+
+    sx = seeds.transpose(0, 1, 3, 2)   # [K, BX, BZ, BY]
+    sy = seeds.transpose(0, 2, 3, 1)   # [K, BY, BZ, BX]
     if bx == by:
         fx_f, fx_r, fy_f, fy_r = octant_free_sweep_pallas(
             [sx, sy], [po_x, po_y], [o_z, o_z], [o_y, o_x],

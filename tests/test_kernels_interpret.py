@@ -33,7 +33,10 @@ def cfg():
     )
 
 
-def test_carve_kernel_matches_xla_fallback(cfg):
+@pytest.mark.parametrize("io_mode", ["canon", "canonx", "relayout"])
+def test_carve_kernel_matches_xla_fallback(cfg, io_mode):
+    """Both kernel IO layouts (canonical in-VMEM sub-slab transposes and
+    the pre-round-5 HBM relayout form) pin against the XLA fallback."""
     rng = np.random.default_rng(3)
     k, p = 2, 400
     origins = rng.uniform(-2, 2, (k, 3)).astype(np.float32)
@@ -46,7 +49,8 @@ def test_carve_kernel_matches_xla_fallback(cfg):
         jnp.asarray(pts), jnp.asarray(val), jnp.asarray(origins))
 
     free_kernel = np.asarray(
-        rc._carve_free_tpu(cfg, seeds, po_box, interpret=True))
+        rc._carve_free_tpu(cfg, seeds, po_box, interpret=True,
+                           io_mode=io_mode))
     free_xla = np.asarray(rc.carve_free_mask_batch(cfg, seeds, po_box))
     assert np.array_equal(free_kernel, free_xla)
     assert free_xla.any()  # non-degenerate scene
