@@ -31,6 +31,65 @@ import numpy as np
 from ..config import FiestaConfig
 
 
+def depth_to_cloud_components(
+    cfg: FiestaConfig,
+    depth: jax.Array,
+    transform: Optional[jax.Array] = None,
+    last_transform: Optional[jax.Array] = None,
+    last_depth: Optional[jax.Array] = None,
+    use_filter: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Back-projection + consistency filter in COMPONENT form: returns
+    (px, py, pz, valid), each [H,W] — no [*, 3] staging.
+
+    Why: a [H*W, 3] output keeps the length-3 coordinate axis minormost,
+    which XLA:TPU tiles onto the 128-lane dimension at 3/128 utilization
+    — the same trailing-3 layout tax the scan prep paid (PERF.md round
+    3); measured ~0.4 ms/frame of the demo tick (round 5).  All math
+    here runs on full-lane [H,W] arrays; the homogeneous reprojection is
+    expanded per component instead of an einsum over a length-4 axis.
+    Trace-time function — callers jit.
+    """
+    h, w = depth.shape
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    x = (u - cfg.center_x) * depth / cfg.focal_x
+    y = (v - cfg.center_y) * depth / cfg.focal_y
+
+    valid = jnp.isfinite(depth)
+    if use_filter:
+        # Margin crop (Fiesta.h:356-358).
+        m = cfg.depth_filter_margin
+        if m > 0:
+            um = (u >= m) & (u < w - m)
+            vm = (v >= m) & (v < h - m)
+            valid = valid & (um & vm)
+        # Depth gates (Fiesta.h:364-365).
+        valid = valid & (depth >= cfg.depth_filter_min_dist)
+        valid = valid & (depth <= cfg.depth_filter_max_dist)
+
+        # Reproject into the previous frame (Fiesta.h:366-369),
+        # component-expanded: coord_i = rel[i,:3] . (x,y,z) + rel[i,3]
+        rel = jnp.linalg.solve(last_transform, transform)   # last_T^-1 @ T
+        c0 = rel[0, 0] * x + rel[0, 1] * y + rel[0, 2] * depth + rel[0, 3]
+        c1 = rel[1, 0] * x + rel[1, 1] * y + rel[1, 2] * depth + rel[1, 3]
+        c2 = rel[2, 0] * x + rel[2, 1] * y + rel[2, 2] * depth + rel[2, 3]
+        c3 = rel[3, 0] * x + rel[3, 1] * y + rel[3, 2] * depth + rel[3, 3]
+        cz = c2 / c3
+        uu = (c0 / c3) * cfg.focal_x / cz + cfg.center_x
+        vv = (c1 / c3) * cfg.focal_y / cz + cfg.center_y
+
+        in_img = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        ui = jnp.clip(uu.astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(vv.astype(jnp.int32), 0, h - 1)
+        prev = last_depth[vi, ui]                        # nearest pixel
+        agree = jnp.abs(prev - cz) < cfg.depth_filter_tolerance
+        valid = valid & in_img & agree
+
+    return x, y, depth, valid
+
+
 @partial(jax.jit, static_argnames=("cfg", "use_filter"))
 def depth_to_cloud(
     cfg: FiestaConfig,
@@ -49,46 +108,13 @@ def depth_to_cloud(
       last_depth: [H,W] previous depth image (required when ``use_filter``).
       use_filter: apply the temporal consistency filter.
 
-    Returns (points [H*W,3] camera frame, valid [H*W] bool).
+    Returns (points [H*W,3] camera frame, valid [H*W] bool).  The fused
+    depth tick uses ``depth_to_cloud_components`` instead (no [*, 3]
+    staging); this form remains the point-cloud API surface.
     """
-    h, w = depth.shape
-    u = jnp.arange(w, dtype=jnp.float32)[None, :]
-    v = jnp.arange(h, dtype=jnp.float32)[:, None]
-
-    x = (u - cfg.center_x) * depth / cfg.focal_x
-    y = (v - cfg.center_y) * depth / cfg.focal_y
-    points = jnp.stack([x, y, depth], axis=-1)          # [H,W,3]
-
-    valid = jnp.isfinite(depth)
-    if use_filter:
-        # Margin crop (Fiesta.h:356-358).
-        m = cfg.depth_filter_margin
-        if m > 0:
-            um = (u >= m) & (u < w - m)
-            vm = (v >= m) & (v < h - m)
-            valid = valid & (um & vm)
-        # Depth gates (Fiesta.h:364-365).
-        valid = valid & (depth >= cfg.depth_filter_min_dist)
-        valid = valid & (depth <= cfg.depth_filter_max_dist)
-
-        # Reproject into the previous frame (Fiesta.h:366-369).
-        rel = jnp.linalg.solve(last_transform, transform)   # last_T^-1 @ T
-        p_h = jnp.concatenate(
-            [points, jnp.ones((h, w, 1), jnp.float32)], axis=-1
-        )
-        coord = jnp.einsum("ij,hwj->hwi", rel, p_h)
-        cz = coord[..., 2] / coord[..., 3]
-        cxy = coord[..., :2] / coord[..., 3:4]
-        uu = cxy[..., 0] * cfg.focal_x / cz + cfg.center_x
-        vv = cxy[..., 1] * cfg.focal_y / cz + cfg.center_y
-
-        in_img = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-        ui = jnp.clip(uu.astype(jnp.int32), 0, w - 1)
-        vi = jnp.clip(vv.astype(jnp.int32), 0, h - 1)
-        prev = last_depth[vi, ui]                        # nearest pixel
-        agree = jnp.abs(prev - cz) < cfg.depth_filter_tolerance
-        valid = valid & in_img & agree
-
+    x, y, z, valid = depth_to_cloud_components(
+        cfg, depth, transform, last_transform, last_depth, use_filter)
+    points = jnp.stack([x, y, z], axis=-1)          # [H,W,3]
     return points.reshape(-1, 3), valid.reshape(-1)
 
 

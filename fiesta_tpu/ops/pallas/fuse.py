@@ -50,11 +50,23 @@ def _chunk_x(gx: int, per_row: int, budget: int = 6 * 2**20) -> int:
 
 
 def fuse_supported(grid_shape) -> bool:
-    # blocks span the full (Y, Z) trailing dims, which Pallas accepts for
-    # any extent ("...or be equal to the respective dimensions of the
-    # overall array"); x always has the divisor 1.  Kept as a hook for
-    # future constraints.
+    # capability: blocks span the full (Y, Z) trailing dims, which Pallas
+    # accepts for any extent ("...or be equal to the respective dimensions
+    # of the overall array"); x always has the divisor 1.
     return len(grid_shape) == 3
+
+
+def fuse_profitable(grid_shape) -> bool:
+    """Whether the kernel WINS over the XLA chain on this grid shape.
+
+    Kernel blocks tile (sublane, lane) on (Y, Z), so a short Z pads
+    every 128-lane tile — at the demo grid's gz=36 (72% lanes dead) the
+    kernel measured 0.7 ms/batch SLOWER than the XLA chain it replaces,
+    while at cow's gz=80 it wins ~1.5 ms (PERF.md rounds 4-5).  XLA
+    linearizes elementwise chains and does not pay the pad; the kernel
+    cannot without relayout copies (the rejected 2-D flattening, round
+    4).  Gate: gz >= 64 (half-tile utilization)."""
+    return grid_shape[2] >= 64
 
 
 def fuse_counts_pallas(
@@ -69,6 +81,8 @@ def fuse_counts_pallas(
     clamp_max: float,
     occ_thresh: float,
     occ_is_eq: bool,
+    window=None,
+    x_offset=None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
            jax.Array, jax.Array, jax.Array]:
@@ -78,6 +92,16 @@ def fuse_counts_pallas(
 
     ``occ_is_eq``: deterministic mode's ``logodds == occ_thresh``
     predicate instead of the probabilistic ``>`` (grid.occupied_grid).
+
+    ``window``: optional (wmin [3] i32, wmax [3] i32) inclusive voxel
+    bounds (local-update mode, reference C17): observations outside the
+    window are DROPPED — same semantics as ``fusion.fuse_counts`` with a
+    window_mask, whose XLA chain costs ~2 ms of full-grid element-rate
+    passes at demo scale (PERF.md round 5).  The gate folds into the
+    same single pass as three iota compares per axis (SMEM scalars).
+    ``x_offset``: optional i32 scalar added to the block's x coordinate
+    — the shard_map caller passes its slab origin so window bounds stay
+    GLOBAL coordinates.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -91,12 +115,18 @@ def fuse_counts_pallas(
     cmin = np.float32(clamp_min)
     cmax = np.float32(clamp_max)
     thr = np.float32(occ_thresh)
+    windowed = window is not None
 
     def occ_of(lo):
         return (lo == thr) if occ_is_eq else (lo > thr)
 
-    def kernel(lo_ref, seen_ref, hit_ref, miss_ref,
-               lo_o, seen_o, occ_o, hit_o, miss_o, cnt_o):
+    def kernel(*refs):
+        if windowed:
+            (win_ref, lo_ref, seen_ref, hit_ref, miss_ref,
+             lo_o, seen_o, occ_o, hit_o, miss_o, cnt_o) = refs
+        else:
+            (lo_ref, seen_ref, hit_ref, miss_ref,
+             lo_o, seen_o, occ_o, hit_o, miss_o, cnt_o) = refs
         lo = lo_ref[:]
         hit = hit_ref[:]
         miss = miss_ref[:]
@@ -105,6 +135,17 @@ def fuse_counts_pallas(
         hit32 = hit.astype(jnp.int32)
         miss32 = miss.astype(jnp.int32)
         obs = miss32 > 0
+        if windowed:
+            g = pl.program_id(0)
+            shape = (cx, gy, gz)
+            xs = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                  + g * cx + win_ref[6])
+            ys = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            zs = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+            obs = (obs
+                   & (xs >= win_ref[0]) & (xs <= win_ref[3])
+                   & (ys >= win_ref[1]) & (ys <= win_ref[4])
+                   & (zs >= win_ref[2]) & (zs <= win_ref[5]))
         is_hit = (2 * hit32) >= miss32
         new = jnp.clip(lo + jnp.where(is_hit, lh, lm), cmin, cmax)
         new = jnp.where(obs, new, lo)
@@ -133,10 +174,27 @@ def fuse_counts_pallas(
 
     cnt_spec = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = [spec(None)] * 4
+    args = [logodds, seen, hit_cnt, miss_cnt]
+    if windowed:
+        wmin, wmax = window
+        xoff = (jnp.int32(0) if x_offset is None
+                else jnp.asarray(x_offset, jnp.int32))
+        # [x0,y0,z0, x1,y1,z1, xoff, pad] as SMEM scalars; the block's
+        # global x = local x + xoff (shard_map slab origin)
+        win = jnp.concatenate([
+            jnp.asarray(wmin, jnp.int32).reshape(3),
+            jnp.asarray(wmax, jnp.int32).reshape(3),
+            xoff.reshape(1), jnp.zeros(1, jnp.int32)])
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = [win] + args
+        aliases = {1: 0, 2: 1, 3: 3, 4: 4}
+    else:
+        aliases = {0: 0, 1: 1, 2: 3, 3: 4}
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[spec(None)] * 4,
+        in_specs=in_specs,
         out_specs=(spec(None),) * 5 + (cnt_spec,),
         out_shape=(
             jax.ShapeDtypeStruct((gx, gy, gz), jnp.float32),
@@ -146,12 +204,12 @@ def fuse_counts_pallas(
             jax.ShapeDtypeStruct((gx, gy, gz), jnp.uint8),
             jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32),
         ),
-        input_output_aliases={0: 0, 1: 1, 2: 3, 3: 4},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(logodds, seen, hit_cnt, miss_cnt)
+    )(*args)
     new_lo, new_seen, occ, hit0, miss0, cnt = out
     sums = jnp.sum(cnt, axis=(0, 1))
     return (new_lo, new_seen, occ, hit0, miss0,

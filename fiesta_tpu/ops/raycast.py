@@ -766,7 +766,8 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
     gx, gy, gz = cfg.grid_shape
     bx, by, bz = _carve_box_shape(cfg)
     nb = bx * by * bz
-    k = points.shape[0]
+    components = isinstance(points, (tuple, list))
+    k = points[0].shape[0] if components else points.shape[0]
     if k * nb >= 2**31:
         # the flat scatter index k*nb + lin_w is int32; past 2^31 it wraps
         # negative and mode="drop" silently discards those observations
@@ -777,7 +778,12 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
     res = cfg.resolution
     mx, my, mz = (np.float32(o) for o in cfg.origin)
 
-    px, py, pz = (points[..., j] for j in range(3))        # [K,P]
+    if components:
+        # the depth tick hands (px, py, pz) [K,P] directly — no [K,P,3]
+        # staging, no strided-slice relayout (round 5)
+        px, py, pz = points
+    else:
+        px, py, pz = (points[..., j] for j in range(3))    # [K,P]
     if transforms is not None:
         r = transforms[:, :3, :3]
         wx, wy, wz = [

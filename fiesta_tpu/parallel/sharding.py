@@ -770,7 +770,8 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         cfg, n, with_closest=False if cfg.lazy_closest else None)
     bx, by, bz = raycast._carve_box_shape(cfg)
     from ..grid import closest_packed_state, pack_closest
-    from ..ops.pallas.fuse import fuse_counts_pallas, fuse_supported
+    from ..ops.pallas.fuse import (fuse_counts_pallas,
+                                   fuse_profitable, fuse_supported)
     from ..pipeline import _FUSE_IMPL
 
     cl_packed = closest_packed_state(cfg)
@@ -778,7 +779,8 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     use_pallas_fuse = (
         _FUSE_IMPL == "pallas" and cfg.global_update
         and jax.default_backend() == "tpu"
-        and fuse_supported((lx,) + cfg.grid_shape[1:]))
+        and fuse_supported((lx,) + cfg.grid_shape[1:])
+        and fuse_profitable(cfg.grid_shape))
 
     def apply_box_local(cnt_local, boxc, start, x0):
         """Add a carve-box contribution to the slab it intersects.

@@ -45,7 +45,8 @@ from .grid import (
 )
 from .ops import esdf, fusion, raycast
 from .ops.depth import depth_to_cloud, pose_to_matrix
-from .ops.pallas.fuse import fuse_counts_pallas, fuse_supported
+from .ops.pallas.fuse import (fuse_counts_pallas, fuse_profitable,
+                              fuse_supported)
 from .timing import Timer
 
 #: fusion drain implementation for the rebuild tick:
@@ -246,13 +247,19 @@ def esdf_update(
 
     if (_FUSE_IMPL == "pallas" and cfg.esdf_mode == "rebuild"
             and wmask is None and jax.default_backend() == "tpu"
-            and fuse_supported(cfg.grid_shape)):
+            and fuse_supported(cfg.grid_shape)
+            and fuse_profitable(cfg.grid_shape)):
         # single-pass Pallas drain (ops/pallas/fuse.py): log-odds/seen in
         # place, EDT-ready u8 occupancy out, counters re-zeroed in place,
         # stats as in-kernel partial sums — the XLA chain costs ~1.6 ms
         # of full-grid passes at cow scale (PERF.md r3), ~5x its
         # bandwidth bound.  Bit-identical arithmetic; the rebuild path
         # never materializes insert/delete masks (counts suffice).
+        # Gated to GLOBAL updates and gz >= 64 (fuse_profitable): the
+        # window-capable kernel variant (round 5) measured SLOWER than
+        # the XLA chain at both demo (gz=36) and cow (gz=80) window
+        # shapes — the in-kernel iota gating costs more than XLA's fused
+        # wmask — so window mode keeps the chain (PERF.md round 5).
         on, off_eq = ((cfg.min_occupancy_log, False) if cfg.probabilistic
                       else (1.0, True))
         new_lo, seen, occ, hit0, miss0, n_obs, n_ins, n_del = \
@@ -397,16 +404,23 @@ def fused_depth_batch_step(
     the previous tick's last frame; for the very first tick pass the
     first frame itself — self-agreement keeps it, a one-frame divergence
     from the reference's drop-first-frame behavior, Fiesta.h:353)."""
+    from .ops.depth import depth_to_cloud_components
+
     k = depths.shape[0]
-    pts, vals = [], []
+    xs, ys, zs, vals = [], [], [], []
     ld, lt = prev_depth, prev_transform
     for i in range(k):
-        p, v = depth_to_cloud.__wrapped__(
+        # component form: no [H*W, 3] staging (trailing-3 layout tax,
+        # ~0.4 ms/frame at demo scale — PERF.md round 5); the seeds prep
+        # consumes (px, py, pz) [K,P] directly
+        x, y, z, v = depth_to_cloud_components(
             cfg, depths[i], transforms[i], lt, ld, use_filter=use_filter)
-        pts.append(p)
-        vals.append(v)
+        xs.append(x.reshape(-1))
+        ys.append(y.reshape(-1))
+        zs.append(z.reshape(-1))
+        vals.append(v.reshape(-1))
         ld, lt = depths[i], transforms[i]
-    points = jnp.stack(pts)
+    points = (jnp.stack(xs), jnp.stack(ys), jnp.stack(zs))
     valids = jnp.stack(vals)
     return fused_batch_step.__wrapped__(
         cfg, state, points, valids, transforms, cur_pos,

@@ -148,6 +148,66 @@ def test_zeros_f32_fallback_and_factorization():
     assert _chunk_rows(7, 4096) == 0
 
 
+def test_fuse_kernel_window_matches_xla_chain():
+    """The windowed single-pass fusion (iota-gated in kernel, round 5)
+    == fuse_counts with a dense window_mask, bit-exactly — including the
+    x_offset form the sharded slab caller uses."""
+    import numpy as np
+
+    from fiesta_tpu import FiestaConfig
+    from fiesta_tpu.grid import window_mask
+    from fiesta_tpu.ops import fusion
+    from fiesta_tpu.ops.pallas.fuse import fuse_counts_pallas, fuse_supported
+
+    cfg = FiestaConfig(resolution=0.1, origin=(0.0, 0.0, 0.0),
+                       map_size=(1.6, 1.6, 0.8))
+    assert fuse_supported(cfg.grid_shape)
+    rng = np.random.default_rng(7)
+    shape = cfg.grid_shape
+    lo = rng.uniform(cfg.clamp_min_log, cfg.clamp_max_log,
+                     shape).astype(np.float32)
+    seen = (rng.random(shape) < 0.5).astype(np.uint8)
+    hit = rng.integers(0, 4, shape).astype(np.uint8)
+    miss = np.where(rng.random(shape) < 0.3, 0,
+                    rng.integers(0, 4, shape)).astype(np.uint8)
+    wmin = jnp.asarray([3, 2, 1], jnp.int32)
+    wmax = jnp.asarray([11, 13, 6], jnp.int32)
+    wmask = window_mask(cfg, wmin, wmax)
+
+    ref = fusion.fuse_counts(cfg, jnp.asarray(lo), jnp.asarray(seen),
+                             jnp.asarray(hit), jnp.asarray(miss),
+                             window_mask=wmask)
+    kw = dict(l_hit=cfg.prob_hit_log, l_miss=cfg.prob_miss_log,
+              clamp_min=cfg.clamp_min_log, clamp_max=cfg.clamp_max_log,
+              occ_thresh=cfg.min_occupancy_log, occ_is_eq=False,
+              interpret=True)
+    new_lo, new_seen, occ, hit0, miss0, n_obs, n_ins, n_del = \
+        fuse_counts_pallas(jnp.asarray(lo), jnp.asarray(seen),
+                           jnp.asarray(hit), jnp.asarray(miss),
+                           window=(wmin, wmax), **kw)
+    np.testing.assert_array_equal(np.asarray(new_lo),
+                                  np.asarray(ref.logodds))
+    np.testing.assert_array_equal(np.asarray(new_seen) > 0,
+                                  np.asarray(ref.seen) > 0)
+    np.testing.assert_array_equal(np.asarray(occ) > 0,
+                                  np.asarray(ref.occupied))
+    assert int(n_obs) == int(ref.num_observed)
+    assert int(n_ins) == int(np.asarray(ref.insert_mask).sum())
+    assert int(n_del) == int(np.asarray(ref.delete_mask).sum())
+    # the window actually gated something
+    assert int(ref.num_observed) < int(np.asarray(miss > 0).sum())
+
+    # x_offset form: shift the slab so local x + offset = global x gives
+    # identical results on the corresponding slab
+    off = 4
+    new_lo2, *_rest = fuse_counts_pallas(
+        jnp.asarray(lo[off:]), jnp.asarray(seen[off:]),
+        jnp.asarray(hit[off:]), jnp.asarray(miss[off:]),
+        window=(wmin, wmax), x_offset=jnp.int32(off), **kw)
+    np.testing.assert_array_equal(np.asarray(new_lo2),
+                                  np.asarray(ref.logodds)[off:])
+
+
 def test_fuse_kernel_matches_xla_chain():
     """Single-pass Pallas fusion == fusion.fuse_counts bit-exactly
     (log-odds, seen, occupancy, stats counts), incl. saturated counters
