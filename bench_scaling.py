@@ -197,6 +197,65 @@ def main():
         log(f"n={n}: weak-scaled tick ({64*n}x{cfg.grid_shape[1]}x"
             f"{cfg.grid_shape[2]}) {weak_t[n]*1e3:.1f} ms")
 
+    # --- the n=8 weak-scaling term, named + audited (VERDICT r4 #5) ---
+    # Scans pad to a multiple of n for the scan-axis sharding; before
+    # round 5 EVERY device applied all K_pad gathered boxes to its slab
+    # — at n=8 with k=3 scans that is 8 box-applies per device, 5 of
+    # them statically-known zero padding (k_pad/k = 2.67x apply-stage
+    # work), the dominant growth term behind round 4's 0.85 weak
+    # efficiency.  Round 5 skips the trailing pad boxes at trace time
+    # (sharding._make_local_fn).  Two audits:
+    #   (a) compiler-level (environment-independent): count the counter
+    #       dynamic-update-slice ops in the n=8 tick HLO — model = 2*k
+    #       (one per counter grid per REAL scan);
+    #   (b) wall-level: the OLD behavior is reproduced exactly by
+    #       passing k=8 scans with the extra 5 all-invalid (identical
+    #       final state; 8 applies/device) and compared to k=3.
+    import re
+
+    def dus_count(txt):
+        return len(re.findall(r"dynamic-update-slice\.?\d* =", txt))
+
+    def weak8_variant(k_scans):
+        wcfg = dataclasses.replace(
+            cfg, map_size=(6.4 * 8, cfg.map_size[1], cfg.map_size[2]),
+            origin=(-3.2 * 8, cfg.origin[1], cfg.origin[2]))
+        mesh = sharding.make_mesh(8)
+        step = sharding.sharded_fused_tick(wcfg, mesh)
+        state = sharding.shard_state(mk_state(wcfg), mesh)
+        extra = k_scans - 3
+        pts_k = np.concatenate(
+            [pts, np.zeros((extra,) + pts.shape[1:], np.float32)])
+        vals_k = np.concatenate(
+            [vals, np.zeros((extra,) + vals.shape[1:], bool)])
+        tfs_k = np.concatenate(
+            [tfs, np.broadcast_to(np.eye(4, dtype=np.float32),
+                                  (extra, 4, 4))])
+        args = (jnp.asarray(pts_k), jnp.asarray(vals_k),
+                jnp.asarray(tfs_k), jnp.zeros(3, jnp.float32))
+        st2, _ = step(state, *args)
+        jax.block_until_ready(st2.d2)
+        txt = step.lower(
+            sharding.shard_state(mk_state(wcfg), mesh), *args
+        ).compile().as_text()
+        reps = 6
+        st = st2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            st, _ = step(st, *args)
+        jax.block_until_ready(st.d2)
+        return (time.perf_counter() - t0) / reps, dus_count(txt), st2
+
+    t_new, dus_new, st_new = weak8_variant(3)
+    t_old, dus_old, st_old = weak8_variant(8)
+    term_equal = bool(
+        np.array_equal(np.asarray(st_new.d2), np.asarray(st_old.d2))
+        and np.array_equal(np.asarray(st_new.logodds),
+                           np.asarray(st_old.logodds)))
+    log(f"pad-skip term audit (n=8): dus k=3 {dus_new} vs k=8 {dus_old} "
+        f"(model 6 vs 16); wall {t_new*1e3:.1f} vs {t_old*1e3:.1f} ms; "
+        f"states bit-equal={term_equal}")
+
     # On a SHARED-CORE virtual mesh, n virtual devices timeshare the same
     # physical cores, so wall-clock tracks TOTAL work across the mesh:
     # wall(n)/wall(1) measures work INFLATION from sharding (replicated
@@ -267,6 +326,15 @@ def main():
                          for n in weak_t},
         "weak_efficiency": {
             str(n): round(n * weak_t[1] / weak_t[n], 3) for n in (2, 4, 8)},
+        # the named n=8 term (VERDICT r4 #5): pad-box applies, audited
+        # at compiler level (dus ops; model 2*k real vs 2*k_pad old) and
+        # as a wall A/B of the exact old behavior (k=8-with-pads)
+        "pad_skip_term": {
+            "dus_ops_k3": dus_new, "dus_ops_k8_old_behavior": dus_old,
+            "model_dus": [6, 16],
+            "wall_ms_k3": round(t_new * 1e3, 2),
+            "wall_ms_k8_old_behavior": round(t_old * 1e3, 2),
+            "states_bit_equal": term_equal},
         "note": ("primary contract = HLO collective bytes vs analytic "
                  "model; wall-ratio rows are a shared-core proxy whose "
                  "sub-1.0 values carry no efficiency signal"),

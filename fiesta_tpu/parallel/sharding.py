@@ -797,8 +797,19 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
             padded, raycast._sat_add_u8(reg, boxc), at)
         return padded[bx:bx + lx]
 
-    def local_fn(logodds, seen, hit_cnt, miss_cnt, d2, closest,
-                 points, valids, transforms, cur_pos):
+    def _make_local_fn(n_real):
+      """local_fn for a tick whose TRUE scan count is ``n_real`` (static
+      per jit trace): the apply loop skips the trailing padding boxes.
+      Scans pad to a multiple of n for the scan-axis sharding, and the
+      padded boxes sit at statically-known trailing indices after the
+      tiled all_gather — applying them is pure inflation (at n=8 with
+      k=3 scans: 8 box-applies per device, 5 of them zero), the term
+      behind the round-4 weak-scaling droop to 0.85 (PERF.md round 5).
+      (2-space nesting keeps the long local_fn body at its original
+      indentation.)"""
+
+      def local_fn(logodds, seen, hit_cnt, miss_cnt, d2, closest,
+                   points, valids, transforms, cur_pos):
         # points/valids/transforms arrive SCAN-SHARDED: [K_pad/n, P, 3]
         # locally (padding scans are all-invalid => zero contributions)
         x0 = jax.lax.axis_index("x").astype(jnp.int32) * lx
@@ -833,7 +844,10 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         starts = jax.lax.all_gather(starts, "x", tiled=True)
         packed = jax.lax.all_gather(hitc * jnp.uint8(4) + missc, "x",
                                     tiled=True)
-        for i in range(starts.shape[0]):
+        # only the first n_real boxes are real observations (pads are
+        # all-zero and trail the gather) — skipping them statically is
+        # bit-exact and removes the k_pad/k apply inflation
+        for i in range(min(n_real, starts.shape[0])):
             hit_cnt = apply_box_local(hit_cnt, packed[i] >> 2,
                                       starts[i], x0)
             miss_cnt = apply_box_local(miss_cnt, packed[i] & jnp.uint8(3),
@@ -875,18 +889,28 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
         )
         return (new_lo, new_seen, hit0, miss0, d2, closest, stats)
 
+      return local_fn
+
     s3 = P("x", None, None)
     s4 = P(None, "x", None, None)
     scl = s3 if cl_packed else s4    # closest: packed i32 or i16 planes
     sk = P("x", None, None)   # scan-sharded [K_pad, P, 3]
-    sm = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(s3, s3, s3, s3, s3, scl, sk, P("x", None), sk, P()),
-        out_specs=(s3, s3, s3, s3, s3, scl,
-                   UpdateStats(P(), P(), P(), P())),
-        check_vma=False,  # pallas_call inside shard_map has no vma info
-    )
+    _sm_cache = {}
+
+    def _get_sm(n_real):
+        # one shard_map per true scan count (jit re-traces per static
+        # shape anyway; the cache is touched at trace time only)
+        if n_real not in _sm_cache:
+            _sm_cache[n_real] = jax.shard_map(
+                _make_local_fn(n_real),
+                mesh=mesh,
+                in_specs=(s3, s3, s3, s3, s3, scl, sk, P("x", None), sk,
+                          P()),
+                out_specs=(s3, s3, s3, s3, s3, scl,
+                           UpdateStats(P(), P(), P(), P())),
+                check_vma=False,  # pallas_call inside has no vma info
+            )
+        return _sm_cache[n_real]
 
     sk_sh = NamedSharding(mesh, P("x", None, None))
     skv_sh = NamedSharding(mesh, P("x", None))
@@ -894,6 +918,7 @@ def sharded_fused_tick(cfg: FiestaConfig, mesh: Mesh):
     @partial(jax.jit, donate_argnames=("state",))
     def step(state: MapState, points, valids, transforms, cur_pos):
         k = points.shape[0]
+        sm = _get_sm(k)
         k_pad = -k % n
         if k_pad:
             # padding scans are all-invalid: they run (fixed shapes) but

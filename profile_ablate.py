@@ -32,7 +32,7 @@ def main():
     from fiesta_tpu import pipeline as pipeline_mod
     from fiesta_tpu.ops.pallas.fuse import fuse_counts_pallas, fuse_supported
     from fiesta_tpu.pipeline import (
-        FiestaPipeline, UpdateStats, fused_batch_step, rebuild_esdf)
+        FiestaPipeline, UpdateStats, fused_batch_step, tick_rebuild_esdf)
 
     h, w = 192, 256
     cfg = dataclasses.replace(
@@ -118,7 +118,9 @@ def main():
             d2 = st.d2 + occ[0, 0, 0]
             closest = st.closest
         else:
-            d2, closest = rebuild_esdf(cfg, occ)
+            # the PRODUCTION derivation: lazy closest mode (the round-5
+            # default) ticks d2-only; eager configs keep the argmin
+            d2, closest = tick_rebuild_esdf(cfg, occ)
             if closest is None:
                 closest = st.closest
         st2 = dataclasses.replace(

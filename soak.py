@@ -48,7 +48,7 @@ def build_cfg(scale: str):
             edt_fine_dist=1.2,
         )
         orbit = 1.8
-    else:  # "mid": a real-load scrolling window for the TPU soak
+    elif scale == "mid":  # a real-load scrolling window for the TPU soak
         h, w = 96, 128
         base = FiestaConfig(
             resolution=0.05,
@@ -60,6 +60,19 @@ def build_cfg(scale: str):
             edt_fine_dist=2.5,
         )
         orbit = 3.0
+    else:  # "cow": the FULL cow_and_lady-scale scrolling window
+        # (VERDICT r4 #6: the durability drill at the same 400x400x80 =
+        # 12.8 M-voxel window the headline bench runs, launch/
+        # cow_and_lady.launch grid + ray gates)
+        h, w = 144, 192
+        base = FiestaConfig(
+            resolution=0.05,
+            origin=(-10.0, -10.0, -1.0),
+            map_size=(20.0, 20.0, 4.0),     # 400 x 400 x 80 = 12.8 M vox
+            min_ray_length=0.5,
+            max_ray_length=5.0,
+        )
+        orbit = 6.0
     cfg = dataclasses.replace(
         replay.scale_intrinsics(base, h, w), max_points_per_scan=h * w)
     return cfg, h, w, orbit
@@ -254,7 +267,8 @@ def drill(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=1200)
-    p.add_argument("--scale", choices=["small", "mid"], default="mid")
+    p.add_argument("--scale", choices=["small", "mid", "cow"],
+                   default="mid")
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None)
     p.add_argument("--check-every", type=int, default=150,
                    help="C20 oracle interval (updates)")
