@@ -214,7 +214,8 @@ def main():
     import re
 
     def dus_count(txt):
-        return len(re.findall(r"dynamic-update-slice\.?\d* =", txt))
+        # HLO text: "%name = TYPE dynamic-update-slice(...)"
+        return len(re.findall(r"= \S+ dynamic-update-slice\(", txt))
 
     def weak8_variant(k_scans):
         wcfg = dataclasses.replace(
@@ -234,7 +235,10 @@ def main():
         args = (jnp.asarray(pts_k), jnp.asarray(vals_k),
                 jnp.asarray(tfs_k), jnp.zeros(3, jnp.float32))
         st2, _ = step(state, *args)
-        jax.block_until_ready(st2.d2)
+        # materialize the comparison copies BEFORE the timing loop: the
+        # first timed step DONATES st2's buffers
+        d2_np = np.asarray(st2.d2)
+        lo_np = np.asarray(st2.logodds)
         txt = step.lower(
             sharding.shard_state(mk_state(wcfg), mesh), *args
         ).compile().as_text()
@@ -244,16 +248,19 @@ def main():
         for _ in range(reps):
             st, _ = step(st, *args)
         jax.block_until_ready(st.d2)
-        return (time.perf_counter() - t0) / reps, dus_count(txt), st2
+        return (time.perf_counter() - t0) / reps, dus_count(txt), d2_np, lo_np
 
-    t_new, dus_new, st_new = weak8_variant(3)
-    t_old, dus_old, st_old = weak8_variant(8)
-    term_equal = bool(
-        np.array_equal(np.asarray(st_new.d2), np.asarray(st_old.d2))
-        and np.array_equal(np.asarray(st_new.logodds),
-                           np.asarray(st_old.logodds)))
+    t_new, dus_new, d2_new, lo_new = weak8_variant(3)
+    t_old, dus_old, d2_old, lo_old = weak8_variant(8)
+    # the 2-core host's wall clocks swing with scheduling state; take the
+    # better of two interleaved measurements per variant
+    t_new = min(t_new, weak8_variant(3)[0])
+    t_old = min(t_old, weak8_variant(8)[0])
+    term_equal = bool(np.array_equal(d2_new, d2_old)
+                      and np.array_equal(lo_new, lo_old))
     log(f"pad-skip term audit (n=8): dus k=3 {dus_new} vs k=8 {dus_old} "
-        f"(model 6 vs 16); wall {t_new*1e3:.1f} vs {t_old*1e3:.1f} ms; "
+        f"(model: 2*k + base = 8 vs 2*k_pad + base = 18); wall "
+        f"{t_new*1e3:.1f} vs {t_old*1e3:.1f} ms; "
         f"states bit-equal={term_equal}")
 
     # On a SHARED-CORE virtual mesh, n virtual devices timeshare the same
@@ -326,12 +333,21 @@ def main():
                          for n in weak_t},
         "weak_efficiency": {
             str(n): round(n * weak_t[1] / weak_t[n], 3) for n in (2, 4, 8)},
+        # efficiency > 1 is impossible on real chips: it means the
+        # shared-core wall proxy saturated (the host parallelized the
+        # n-device program across its cores instead of timesharing), so
+        # those values carry no signal — the compiler-level audits above
+        # are the contract
+        "weak_proxy_saturated": any(
+            n * weak_t[1] / weak_t[n] > 1.05 for n in (2, 4, 8)),
         # the named n=8 term (VERDICT r4 #5): pad-box applies, audited
         # at compiler level (dus ops; model 2*k real vs 2*k_pad old) and
         # as a wall A/B of the exact old behavior (k=8-with-pads)
         "pad_skip_term": {
             "dus_ops_k3": dus_new, "dus_ops_k8_old_behavior": dus_old,
-            "model_dus": [6, 16],
+            # 2 dus per applied box (hit+miss) + 2 baseline dus
+            # elsewhere in the tick: 2*3+2 new vs 2*8+2 old
+            "model_dus": [8, 18],
             "wall_ms_k3": round(t_new * 1e3, 2),
             "wall_ms_k8_old_behavior": round(t_old * 1e3, 2),
             "states_bit_equal": term_equal},

@@ -111,3 +111,4 @@ def decode_packed_splat(packed_flat: jax.Array, max_ray: float,
         ),
     )(packed_flat.reshape(rows, 128))
     return tuple(o.reshape(n) for o in out)
+

@@ -25,6 +25,11 @@ def distance_grid(cfg: FiestaConfig, d2: jax.Array, seen: jax.Array) -> jax.Arra
     reference returns infinity for distance_buffer_<0 and stores infinity for
     observed-but-unreached voxels, ESDFMap.cpp:246-248, 477-479).
     """
+    # Deliberately PLAIN XLA (round-5 negative result): a Pallas decode
+    # kernel materializes the full f32 grid and breaks the fusion XLA
+    # otherwise performs into the MPC's per-sample gathers — the e2e
+    # loop pays decode per GATHERED element (~491k/solve), not per voxel
+    # (12.8 M); the kernel variant measured e2e 17.7 vs 14.3 ms/period.
     known = seen & (d2 < INF_D2)
     dist = jnp.sqrt(d2.astype(jnp.float32)) * cfg.resolution
     return jnp.where(known, dist, cfg.infinity_distance)
