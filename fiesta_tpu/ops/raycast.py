@@ -79,6 +79,15 @@ from ..grid import window_mask as make_window_mask
 import os as _os_env  # noqa: E402
 
 _CARVE_IO = _os_env.environ.get("FIESTA_CARVE_IO", "relayout")
+
+#: endpoint splat ordering: "direct" scatters as produced; "sorted"
+#: pre-sorts updates by target index to earn XLA's sorted-indices
+#: scatter fast path (FIESTA_SPLAT_SORT_IMPL=pallas|lax picks the sort).
+#: Bit-exact either way (scatter-max commutes); default from on-chip A/B.
+_SPLAT_ORDER = _os_env.environ.get("FIESTA_SPLAT", "direct")
+if _SPLAT_ORDER not in ("direct", "sorted"):
+    raise ValueError(f"FIESTA_SPLAT={_SPLAT_ORDER!r}: expected direct|sorted")
+_SPLAT_SORT_IMPL = _os_env.environ.get("FIESTA_SPLAT_SORT_IMPL", "lax")
 if _CARVE_IO not in ("canon", "canonx", "relayout"):
     raise ValueError(
         f"FIESTA_CARVE_IO={_CARVE_IO!r}: expected canon|canonx|relayout")
@@ -864,11 +873,30 @@ def _scanline_seeds_batch(cfg: FiestaConfig, points, valid, origins,
     # 11.2 M elements, PERF.md r3 ablation); the kernel output aliases
     # into the scatter in place
     from .pallas.fill import decode_packed_splat, zeros_f32
-    packed_flat = (
-        zeros_f32(k * nb)
-        .at[jnp.where(rvalid, biglin, k * nb).ravel()]
-        .max(packed_val.ravel(), mode="drop")
-    )
+    lin_flat = jnp.where(rvalid, biglin, k * nb).ravel()
+    val_flat = packed_val.ravel()
+    if _SPLAT_ORDER == "sorted":
+        # pre-sort the updates to earn XLA's sorted-indices scatter fast
+        # path (~3-4x cheaper scatter, profile_splat.py row c); the drop
+        # sentinel k*nb is the max key so it sorts (and drops) last.
+        # Scatter-MAX is commutative, so reordering is bit-exact.
+        srt = None
+        if _SPLAT_SORT_IMPL == "pallas":
+            from .pallas.sort import sort_pairs
+
+            srt = sort_pairs(lin_flat, val_flat)
+        if srt is None:
+            srt = jax.lax.sort([lin_flat, val_flat], num_keys=1)
+        lin_flat, val_flat = srt
+        packed_flat = (
+            zeros_f32(k * nb)
+            .at[lin_flat].max(val_flat, mode="drop",
+                              indices_are_sorted=True)
+        )
+    else:
+        packed_flat = (
+            zeros_f32(k * nb).at[lin_flat].max(val_flat, mode="drop")
+        )
     # decode as a Pallas pass (HBM-bandwidth) where supported; the XLA
     # form is an ~11 M-element pass at element rate (~1 ms at cow scale)
     dec = decode_packed_splat(packed_flat, cfg.max_ray_length,

@@ -322,3 +322,27 @@ def test_decode_splat_matches_xla(monkeypatch):
     np.testing.assert_array_equal(np.asarray(seeds), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(ep), np.asarray(ref[2]))
+
+
+def test_bitonic_sort_pairs_interpret():
+    """ops/pallas/sort.sort_pairs: sorted keys, preserved pair multiset,
+    duplicates and drop-sentinel handling (interpret mode)."""
+    import collections
+
+    from fiesta_tpu.ops.pallas.sort import sort_pairs
+
+    rng = np.random.default_rng(3)
+    for n in (256, 1000, 4096):
+        keys = rng.integers(0, 1 << 25, n).astype(np.int32)
+        keys[rng.integers(0, n, n // 5)] = 777     # heavy duplicates
+        keys[: n // 9] = 1 << 25                   # drop sentinels
+        vals = rng.random(n).astype(np.float32)
+        ko, vo = sort_pairs(jnp.asarray(keys), jnp.asarray(vals),
+                            interpret=True)
+        ko, vo = np.asarray(ko), np.asarray(vo)
+        assert np.all(np.diff(ko) >= 0)
+        assert np.array_equal(np.sort(ko), np.sort(keys))
+        a = collections.Counter(zip(keys.tolist(), vals.tolist()))
+        assert a == collections.Counter(zip(ko.tolist(), vo.tolist()))
+        # sentinels sort last: the scatter's mode="drop" still drops them
+        assert (ko[-(n // 9):] == 1 << 25).all()

@@ -517,3 +517,41 @@ def test_apply_box_counts_rejects_unknown_mode():
     with _pytest.raises(ValueError, match="unknown box-apply mode"):
         raycast.apply_box_counts(z, z, jnp.zeros((1, 3), jnp.int32),
                                  z[None], z[None], mode="palas")
+
+
+def test_scanline_seeds_component_tuple_matches_array():
+    """The depth tick hands (px, py, pz) [K,P] component tuples to the
+    seeds prep (round 5, no [K,P,3] staging); results must be BITWISE
+    the [K,P,3] array form's."""
+    from fiesta_tpu import FiestaConfig
+
+    cfg = FiestaConfig(
+        resolution=0.2, map_size=(8.0, 8.0, 3.2), origin=(-4.0, -4.0, -1.6),
+        min_ray_length=0.3, max_ray_length=2.5, max_points_per_scan=256)
+    rng = np.random.default_rng(9)
+    k, p = 2, 256
+    pts = rng.uniform(-3, 3, (k, p, 3)).astype(np.float32)
+    pts[0, ::17] = np.nan                      # invalid rays survive both
+    vals = rng.uniform(size=(k, p)) < 0.9
+    tfs = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))
+    tfs[:, :3, 3] = rng.uniform(-0.5, 0.5, (k, 3)).astype(np.float32)
+
+    arr = raycast.scanline_batch_boxes(
+        cfg, jnp.asarray(pts), jnp.asarray(vals),
+        jnp.asarray(tfs[:, :3, 3]), transforms=jnp.asarray(tfs))
+    tup = raycast.scanline_batch_boxes(
+        cfg, tuple(jnp.asarray(pts[..., j]) for j in range(3)),
+        jnp.asarray(vals), jnp.asarray(tfs[:, :3, 3]),
+        transforms=jnp.asarray(tfs))
+    for a, b in zip(arr, tup):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fuse_profitable_shape_gate():
+    """The fusion kernel's profitability gate (PERF.md round 5): short-Z
+    grids (lane-pad regime) route to the XLA chain."""
+    from fiesta_tpu.ops.pallas.fuse import fuse_profitable, fuse_supported
+
+    assert fuse_supported((400, 400, 80)) and fuse_profitable((400, 400, 80))
+    assert fuse_supported((400, 400, 36)) and not fuse_profitable(
+        (400, 400, 36))
