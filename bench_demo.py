@@ -6,7 +6,7 @@ resolution over 40x40x3.6 m (400x400x36 = 5.76 M voxels), depth-image
 input with the temporal consistency filter, ESDF updates restricted to a
 6x6x3 m box around the robot, 10 Hz cadence.  The full tick here is the
 depth-mode fused stream: back-projection + filter + carve + fusion +
-hierarchical EDT in one device program per tick.
+exact truncated EDT in one device program per tick.
 
 Prints one JSON line (same contract as bench.py; not the driver headline).
 """
